@@ -1,0 +1,49 @@
+"""SparkSession factory with scale-oriented defaults.
+
+All knobs that matter at 100 TB are set here once: AQE (runtime join
+re-planning + skew-join splitting), a broadcast threshold sized for
+dimension tables, Arrow for every pandas-UDF boundary, and shuffle
+partitions parameterized by environment so the same code runs on
+``local[8]`` / ``local[32]`` in the sandbox and on a 1000-executor
+cluster via ``spark-submit --py-files``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "osm2ch_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+    )
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing, skew-join splitting, join re-planning.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow on every JVM<->Python boundary (grouped-map UDFs W1/J3).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Dimension tables (restrictions, tag whitelists) broadcast freely.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Timestamps in parquet testdata are µs; keep them stable.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,95 @@
+"""Golden-value tests ported verbatim from /root/reference/geomath_test.go."""
+
+import numpy as np
+import pytest
+from hypothesis import given, strategies as st
+
+from osm2ch_spark import geom
+
+P1 = (37.6417350769043, 55.751849391735284)
+P2 = (37.668514251708984, 55.73261980350401)
+
+LINE20 = np.array(
+    [
+        (37.396747, 55.8321), (37.397111, 55.831987), (37.397222, 55.831927),
+        (37.397322, 55.831851), (37.397384, 55.83177), (37.397415, 55.831684),
+        (37.397407, 55.831605), (37.397363, 55.831525), (37.397283, 55.83144),
+        (37.39717, 55.831367), (37.397001, 55.831313), (37.39682, 55.831286),
+        (37.39662, 55.83129), (37.396464, 55.831311), (37.396345, 55.831346),
+        (37.396202, 55.83141), (37.396123, 55.831459), (37.396059, 55.831517),
+        (37.396013, 55.831591), (37.395989, 55.831674),
+    ]
+)
+
+
+def test_middle_point_segment():
+    # geomath_test.go:7-24 — exact float equality
+    lon, lat = geom.middle_point_segment(P1, P2)
+    assert lon == 37.65512796336629
+    assert lat == 55.742235325526806
+
+
+def test_great_circle_distance():
+    # geomath_test.go:26-40 — within 5e-4 km
+    d = float(geom.great_circle_distance(P1[0], P1[1], P2[0], P2[1]))
+    assert abs(d - 2.71693096539) < 5e-4
+
+
+def test_find_centroid():
+    # geomath_test.go:49-80 — exact
+    lon, lat = geom.find_centroid(LINE20)
+    assert lon == 37.39680299905517
+    assert lat == 55.83157265108678
+
+
+def test_find_middle_point():
+    # geomath_test.go:82-117 — exact, cut index 9
+    idx, (lon, lat) = geom.find_middle_point(LINE20)
+    assert idx == 9
+    assert lon == 37.39712087557048
+    assert lat == 55.83135130343672
+
+
+def test_radius_curvature():
+    # geomath_test.go:119-147 — within 1e-8
+    r = geom.calc_radius_curvature(LINE20)
+    assert abs(r - 47.22026299802612925305) < 1e-8
+
+
+def test_find_middle_point_zero_length():
+    # geomath.go:143-161 edge case: loop never satisfied → (0, (0,0))
+    idx, pt = geom.find_middle_point(np.array([(1.0, 2.0), (1.0, 2.0)]))
+    assert idx == 0 and pt == (0.0, 0.0)
+    idx, pt = geom.find_middle_point(np.zeros((0, 2)))
+    assert idx == 0 and pt == (0.0, 0.0)
+
+
+def test_spherical_length_edges():
+    assert geom.spherical_length(np.zeros((0, 2))) == 0.0
+    assert geom.spherical_length(np.array([P1])) == 0.0
+    two = geom.spherical_length(np.array([P1, P2]))
+    assert abs(two - 2.71693096539) < 5e-4
+
+
+def test_reverse_line():
+    rev = geom.reverse_line(LINE20)
+    assert np.array_equal(rev, LINE20[::-1])
+    assert np.array_equal(geom.reverse_line(rev), LINE20)
+
+
+def test_wkt():
+    # converter_wkt.go:9-20 — Go %f is 6-decimal fixed
+    assert geom.wkt_point(P1) == "POINT(37.641735 55.751849)"
+    s = geom.wkt_linestring(np.array([P1, P2]))
+    assert s == "LINESTRING(37.641735 55.751849,37.668514 55.732620)"
+
+
+@given(st.floats(min_value=-180, max_value=180, allow_nan=False))
+def test_go_float_parity_property(x):
+    """Python {:.6f} must be fixed 6 decimals, no exponent — Go %f parity."""
+    s = geom.go_float(x)
+    assert "e" not in s and "E" not in s
+    whole, frac = s.split(".")
+    assert len(frac) == 6
+    # round-trip error bounded by half an ulp of the 6th decimal
+    assert abs(float(s) - x) <= 5e-7 + 1e-12
