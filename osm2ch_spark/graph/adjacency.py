@@ -1,0 +1,64 @@
+"""Partitioned CSR-like adjacency shards (SURVEY.md §2.9).
+
+The edge table (source_vertex, target_vertex, weight, one_way) is
+materialized once into bucketed neighbor-list shards:
+
+  (src_bucket INT, source_vertex BIGINT, chunk INT,
+   neighbors ARRAY<BIGINT>, weights ARRAY<DOUBLE>, out_degree BIGINT)
+
+- ``src_bucket = pmod(hash(source_vertex), num_buckets)`` gives every
+  iteration the same co-location, so the per-iteration rank⋈adjacency
+  join shuffles only the (small) rank side once the shards are cached.
+- Hub vertices (motorway junctions) produce huge neighbor lists; lists
+  are CHUNKED to ≤ max_chunk so no single task/row explodes — this is
+  the skew treatment for the explode stage (the groupBy(target).sum
+  side is already skew-safe: partial map-side aggregation bounds any
+  target's reduce input by the partition count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_adjacency(edges: DataFrame, num_buckets: int = 32, max_chunk: int = 4096) -> DataFrame:
+    """Group the edge table into chunked, bucketed adjacency shards."""
+    adj = (
+        edges.groupBy("source_vertex")
+        .agg(
+            F.collect_list("target_vertex").alias("nbrs"),
+            F.collect_list("weight").alias("wts"),
+        )
+        .withColumn("out_degree", F.size("nbrs").cast("long"))
+    )
+    # chunk hub lists: slice(nbrs, k*max_chunk+1, max_chunk) per chunk k
+    n_chunks = F.ceil(F.col("out_degree") / F.lit(max_chunk)).cast("int")
+    adj = adj.withColumn("chunk", F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))))
+    adj = adj.select(
+        F.pmod(F.hash("source_vertex"), F.lit(num_buckets)).alias("src_bucket"),
+        "source_vertex",
+        "chunk",
+        F.slice(F.col("nbrs"), F.col("chunk") * max_chunk + 1, max_chunk).alias("neighbors"),
+        F.slice(F.col("wts"), F.col("chunk") * max_chunk + 1, max_chunk).alias("weights"),
+        "out_degree",
+    )
+    return adj.repartition(num_buckets, "src_bucket")
+
+
+def vertices_table(edges: DataFrame) -> DataFrame:
+    """All vertices with a dangling flag (no outgoing edges)."""
+    srcs = edges.select(F.col("source_vertex").alias("vertex")).distinct()
+    tgts = edges.select(F.col("target_vertex").alias("vertex")).distinct()
+    verts = srcs.unionAll(tgts).distinct()
+    return verts.join(
+        srcs.withColumn("has_out", F.lit(True)), "vertex", "left"
+    ).select("vertex", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Distinct symmetric (u, v) pairs, self-loops removed — shared by
+    CC / LPA / triangles, which treat the graph as undirected."""
+    fwd = edges.select(F.col("source_vertex").alias("u"), F.col("target_vertex").alias("v"))
+    rev = edges.select(F.col("target_vertex").alias("u"), F.col("source_vertex").alias("v"))
+    return fwd.unionAll(rev).filter(F.col("u") != F.col("v")).distinct()

