@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()``/``oracle_sql()`` expose every implemented operator from
+SURVEY.md §2 (plus the training-data ops) with DuckDB twins; see
+osm2ch_spark/driver_queries.py and osm2ch_spark/data_ops.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full osm2ch pipeline (use-count → Arrow-UDF way
+    splitting → line-graph expansion → turn-restriction anti-joins) over
+    the TPC-H-projected OSM world at sf0.001, returning the final
+    expanded-edge table."""
+    from osm2ch_spark import tpch_world as W
+
+    return W.tpch_final_expanded(spark, "/root/testdata/sf0.001").select(
+        "expanded_id",
+        "src_edge_id",
+        "dst_edge_id",
+        "source_way",
+        "target_way",
+        "weight",
+        "one_way",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from osm2ch_spark.data_ops import QUERIES as DATA_QUERIES
+    from osm2ch_spark.driver_queries import QUERIES as CORE_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(CORE_QUERIES)
+    out.update(DATA_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from osm2ch_spark.data_ops import ORACLES as DATA_ORACLES
+    from osm2ch_spark.driver_queries import ORACLES as CORE_ORACLES
+
+    out = dict(CORE_ORACLES)
+    out.update(DATA_ORACLES)
+    return out

@@ -1,0 +1,429 @@
+"""Training-data pipeline operators over documents/embeddings.
+
+Beyond the reference's own operators, the engine ships the operations a
+large-scale training-data pipeline needs (per round brief): exact and
+near dedup (MinHash-LSH, SimHash, n-gram Jaccard, embedding cosine),
+similarity search (brute-force + LSH-bucketed ANN), text analysis
+(language-ID heuristic, quality scoring, token counting, fingerprinting)
+and multimodal binary-column plumbing.
+
+Everything hot stays JVM-side (built-in functions over arrays/strings);
+the only Python is the multimodal decode stub (mapInPandas, Arrow).
+MinHash uses the md5-order family min(md5(seed|shingle)) — portable
+across engines byte-for-byte, so every op has an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from osm2ch_spark.tpch_world import T
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    "SELECT md5(text) AS text_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_copies FROM documents GROUP BY md5(text)",
+)
+def q_dedup_exact(spark, sf):
+    """Exact dedup: hash-groupBy, keep min doc_id per content hash."""
+    return (
+        T(spark, sf, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingles(spark, sf) -> DataFrame:
+    """(doc_id, shingle) — word 3-grams."""
+    d = T(spark, sf, "documents").select("doc_id", F.split("text", " ").alias("toks"))
+    d = d.filter(F.size("toks") >= 3)
+    sh = F.expr(
+        "transform(sequence(0, size(toks)-3), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+    )
+    return d.select(F.col("doc_id").cast("long"), F.explode(sh).alias("shingle"))
+
+
+_SHINGLES_SQL = """
+toks AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         t[CAST(i AS INT)] || ' ' || t[CAST(i+1 AS INT)] || ' ' || t[CAST(i+2 AS INT)] AS shingle
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t)-2)) AS i) u
+  WHERE len(t) >= 3)
+"""
+
+_MINHASH_SQL = (
+    _SHINGLES_SQL
+    + """, mh AS (
+  SELECT doc_id, s.seed, MIN(md5(CAST(s.seed AS VARCHAR) || '|' || shingle)) AS minhash
+  FROM sh, (SELECT unnest([0,1,2,3]) AS seed) s
+  GROUP BY doc_id, s.seed)
+"""
+)
+
+
+def _minhash(spark, sf) -> DataFrame:
+    """(doc_id, seed, minhash) — md5-order MinHash family, 4 seeds."""
+    sh = _shingles(spark, sf)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("seed")
+    e = sh.select("doc_id", "shingle", seeds)
+    h = F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle")).cast("binary"))
+    return e.groupBy("doc_id", "seed").agg(F.min(h).alias("minhash"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    "WITH " + _MINHASH_SQL
+    + """SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+       FROM mh a JOIN mh b ON a.seed = b.seed AND a.minhash = b.minhash
+       WHERE a.doc_id < b.doc_id""",
+)
+def q_dedup_minhash(spark, sf):
+    """MinHash-LSH candidate pairs: shingle→minhash→band(=seed)→bucket join."""
+    mh = _minhash(spark, sf)
+    a = mh.select(F.col("doc_id").alias("doc1"), "seed", "minhash")
+    b = mh.select(F.col("doc_id").alias("doc2"), "seed", "minhash")
+    return (
+        a.join(b, ["seed", "minhash"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "WITH " + _MINHASH_SQL
+    + """, cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM mh a JOIN mh b ON a.seed = b.seed AND a.minhash = b.minhash
+        WHERE a.doc_id < b.doc_id),
+      shd AS (SELECT DISTINCT doc_id, shingle FROM sh),
+      sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM shd GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc1, c.doc2, CAST(COUNT(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN shd a ON a.doc_id = c.doc1
+        JOIN shd b ON b.doc_id = c.doc2 AND b.shingle = a.shingle
+        GROUP BY c.doc1, c.doc2)
+      SELECT i.doc1, i.doc2,
+             ROUND(CAST(i.i AS DOUBLE) / (na.n + nb.n - i.i), 6) AS jaccard_r
+      FROM inter i JOIN sizes na ON na.doc_id = i.doc1 JOIN sizes nb ON nb.doc_id = i.doc2""",
+)
+def q_dedup_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard on the LSH candidate pairs."""
+    sh = _shingles(spark, sf).distinct()
+    cand = q_dedup_minhash(spark, sf)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc2"), "shingle")
+    inter = (
+        cand.join(a, "doc1").join(b, ["doc2", "shingle"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    nb = sizes.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    return (
+        inter.join(na, "doc1").join(nb, "doc2")
+        .select(
+            "doc1",
+            "doc2",
+            F.round(
+                F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")), 6
+            ).alias("jaccard_r"),
+        )
+    )
+
+
+@register(
+    "dedup_simhash",
+    """WITH tk AS (
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      bits AS (
+        SELECT doc_id, CAST(b.b AS BIGINT) AS b,
+               CASE WHEN strpos('0123456789abcdef', substring(md5(tok), CAST(b.b + 1 AS INT), 1)) - 1 >= 8
+                    THEN 1 ELSE 0 END AS bit
+        FROM tk, (SELECT unnest(generate_series(0, 15)) AS b) b),
+      maj AS (
+        SELECT doc_id, b, CASE WHEN 2 * SUM(bit) > COUNT(*) THEN 1 ELSE 0 END AS m
+        FROM bits GROUP BY doc_id, b)
+      SELECT doc_id, CAST(SUM(m * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash
+      FROM maj GROUP BY doc_id""",
+)
+def q_dedup_simhash(spark, sf):
+    """16-bit SimHash: per-bit majority over token md5 nibble top-bits."""
+    d = T(spark, sf, "documents").select(
+        F.col("doc_id").cast("long"), F.explode(F.split("text", " ")).alias("tok")
+    )
+    d = d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"), "tok")
+    nib = F.conv(
+        F.substring(F.md5(F.col("tok").cast("binary")), F.col("b") + 1, 1).cast("string"), 16, 10
+    ).cast("int")
+    d = d.select("doc_id", F.col("b").cast("long").alias("b"), (nib >= 8).cast("int").alias("bit"))
+    maj = d.groupBy("doc_id", "b").agg(
+        F.when(2 * F.sum("bit") > F.count(F.lit(1)), 1).otherwise(0).alias("m")
+    )
+    return maj.groupBy("doc_id").agg(
+        F.sum(F.col("m") * F.pow(2.0, F.col("b")).cast("long")).cast("long").alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_VALS_SQL = """
+vals AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(u.pos AS INT) AS pos, CAST(u.x AS DOUBLE) AS val
+  FROM embeddings e,
+       LATERAL (SELECT unnest(e.embedding) AS x, generate_subscripts(e.embedding, 1) AS pos) u),
+norms AS (SELECT vec_id, sqrt(SUM(val*val)) AS nrm FROM vals GROUP BY vec_id)
+"""
+
+
+@register(
+    "embedding_norms",
+    "WITH " + _VALS_SQL + "SELECT vec_id, ROUND(nrm, 5) AS l2_r FROM norms",
+)
+def q_embedding_norms(spark, sf):
+    e = T(spark, sf, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return e.select(F.col("vec_id").cast("long"), F.round(F.sqrt(sq), 5).alias("l2_r"))
+
+
+@register(
+    "embedding_cosine_topk",
+    "WITH " + _VALS_SQL
+    + """, dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.val * b.val) AS dot
+        FROM vals a JOIN vals b ON a.pos = b.pos
+        WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+        GROUP BY a.vec_id, b.vec_id),
+      cosd AS (
+        SELECT query_id, neighbor_id, ROUND(dot / (na.nrm * nb.nrm), 5) AS cos_r
+        FROM dots JOIN norms na ON na.vec_id = query_id JOIN norms nb ON nb.vec_id = neighbor_id)
+      SELECT query_id, neighbor_id, cos_r, CAST(rnk AS BIGINT) AS rnk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk
+        FROM cosd) WHERE rnk <= 5""",
+)
+def q_embedding_cosine_topk(spark, sf):
+    """Brute-force cosine top-k (the exactness baseline for ANN): broadcast
+    the query side, JVM-native zip_with dot products, rank per query."""
+    e = T(spark, sf, "embeddings").select(F.col("vec_id").cast("long"), "embedding")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = F.broadcast(q).crossJoin(
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with("qe", "ne", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    c = c.select(
+        "query_id",
+        "neighbor_id",
+        F.round(dot / (nrm("qe") * nrm("ne")), 5).alias("cos_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), F.col("neighbor_id"))
+    return c.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 5)
+
+
+@register(
+    "ann_lsh_buckets",
+    "WITH " + _VALS_SQL
+    + """, proj AS (
+        SELECT v.vec_id, p.j,
+               SUM(v.val * (CAST((v.pos * (p.j + 2) * 2654435761) % 1000 AS DOUBLE) / 1000.0 - 0.5)) AS dot
+        FROM vals v, (SELECT unnest(generate_series(0, 7)) AS j) p
+        GROUP BY v.vec_id, p.j)
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN dot >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id""",
+)
+def q_ann_lsh_buckets(spark, sf):
+    """Random-hyperplane LSH bucketing — the scale path for ANN: candidate
+    generation joins on bucket equality instead of a full cross join."""
+    e = T(spark, sf, "embeddings").select(F.col("vec_id").cast("long"), "embedding")
+    v = e.select("vec_id", F.posexplode("embedding").alias("pos0", "x"))
+    v = v.select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("val")
+    )
+    v = v.crossJoin(F.broadcast(
+        T(spark, sf, "embeddings").sparkSession.range(0, 8).select(F.col("id").alias("j"))
+    ))
+    plane = (
+        ((F.col("pos") * (F.col("j") + 2) * F.lit(2654435761)) % 1000).cast("double") / 1000.0
+        - 0.5
+    )
+    proj = v.groupBy("vec_id", "j").agg(F.sum(F.col("val") * plane).alias("dot"))
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") >= 0, F.pow(2.0, F.col("j")).cast("long")).otherwise(0)
+        ).cast("long").alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "token_count",
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents",
+)
+def q_token_count(spark, sf):
+    return T(spark, sf, "documents").select(
+        F.col("doc_id").cast("long"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "langid_heuristic",
+    """SELECT doc_id, CASE WHEN CAST(stop_cnt AS DOUBLE) / tok_cnt >= 0.05
+         THEN 'en' ELSE 'other' END AS pred_lang FROM (
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','is','to'))) AS BIGINT) AS stop_cnt,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_cnt
+       FROM documents)""",
+)
+def q_langid(spark, sf):
+    """n-gram/stopword language-ID heuristic (exact integer ratio)."""
+    d = T(spark, sf, "documents").select(
+        F.col("doc_id").cast("long"), F.split("text", " ").alias("toks")
+    )
+    stop = F.size(
+        F.filter("toks", lambda x: x.isin("the", "a", "of", "and", "is", "to"))
+    ).cast("long")
+    total = F.size("toks").cast("long")
+    return d.select(
+        "doc_id",
+        F.when(stop.cast("double") / total >= 0.05, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+@register(
+    "quality_score",
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS mean_tok_len_r
+       FROM documents""",
+)
+def q_quality_score(spark, sf):
+    """Quality components: token count, vocabulary size, mean token length."""
+    d = T(spark, sf, "documents").select(
+        F.col("doc_id").cast("long"), "text", F.split("text", " ").alias("toks")
+    )
+    return d.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.size("toks"), 6
+        ).alias("mean_tok_len_r"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, substring(md5(text), 1, 16) AS fp "
+    "FROM documents",
+)
+def q_doc_fingerprint(spark, sf):
+    return T(spark, sf, "documents").select(
+        F.col("doc_id").cast("long"),
+        F.substring(F.md5(F.col("text").cast("binary")), 1, 16).alias("fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-column plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+    "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+    "substring(md5(text), 1, 8) AS content_fp FROM documents",
+)
+def q_multimodal_meta(spark, sf):
+    """Opaque binary column + typed metadata (decode-free path)."""
+    d = T(spark, sf, "documents").select(
+        F.col("doc_id").cast("long"), F.encode("text", "utf-8").alias("blob"), "text"
+    )
+    return d.select(
+        "doc_id",
+        F.octet_length("blob").cast("long").alias("n_bytes"),
+        F.substring(F.md5("blob"), 1, 8).alias("content_fp"),
+    )
+
+
+@register("multimodal_decode_stub")  # rows-only: Arrow plumbing, stubbed decode
+def q_multimodal_decode(spark, sf):
+    """mapInPandas decode plumbing with the image/audio decode STUBBED
+    (libs not in this container): deterministic fake dimensions derived
+    from the bytes; the Spark-side schema/partitioning/batching is real."""
+    import pandas as pd
+
+    d = T(spark, sf, "documents").select(
+        F.col("doc_id").cast("long"), F.encode("text", "utf-8").alias("blob")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            try:
+                raise NotImplementedError("image decode lib not available in container")
+            except NotImplementedError:
+                # deterministic fake: dims derived from byte lengths
+                n = pdf["blob"].map(len)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "width": (n % 640).astype("int64"),
+                        "height": (n % 480).astype("int64"),
+                        "n_frames": (n % 7 + 1).astype("int64"),
+                    }
+                )
+
+    return d.mapInPandas(decode, "doc_id long, width long, height long, n_frames long")

@@ -1,0 +1,53 @@
+"""Driver-contract smoke: entry() runs, queries() have matching oracle
+keys, and a sample of queries runs against testdata + DuckDB."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def ducks():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def test_entry_runs(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == [
+        "expanded_id", "src_edge_id", "dst_edge_id", "source_way",
+        "target_way", "weight", "one_way",
+    ]
+
+
+def test_registry_shape():
+    qs, os_ = E.queries(), E.oracle_sql()
+    assert len(qs) >= 50
+    # every oracle key must have a query
+    assert set(os_) <= set(qs)
+    # the non-oracled set is the explicitly iterative/stub set
+    assert set(qs) - set(os_) == {"multimodal_decode_stub"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_node_use_count", "self_join_edge_expansion", "dedup_minhash_lsh",
+     "embedding_cosine_topk", "pagerank", "find_middle_point"],
+)
+def test_query_matches_oracle(spark, ducks, name):
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import compare
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    sdf = qs[name](spark, SF).toPandas()
+    odf = ducks.execute(os_[name]).fetchdf()
+    assert compare(name, sdf, odf) == []
