@@ -851,7 +851,7 @@ def _pagerank_unrolled_sql(iters: int = 5, d: float = 0.85) -> str:
   FROM verts_g v CROSS JOIN nn CROSS JOIN d{k} dd
   LEFT JOIN c{k} c ON c.vertex = v.vertex)"""
         )
-    parts.append(f"\nSELECT vertex, ROUND(rank, 8) AS rank_r FROM r{iters}")
+    parts.append(f"\nSELECT vertex, ROUND(rank, 6) AS rank_r FROM r{iters}")
     return "".join(parts)
 
 
@@ -860,7 +860,7 @@ def q_pagerank(spark, sf):
     """GA1 — 5 fixed power iterations (tol=0), damping 0.85, dangling
     redistribution; oracle = the same recurrence unrolled in SQL."""
     r = pagerank(W.tpch_edge_graph(spark, sf), max_iter=5, tol=0.0)
-    return r.select("vertex", F.round("rank", 8).alias("rank_r"))
+    return r.select("vertex", F.round("rank", 6).alias("rank_r"))
 
 
 @register(

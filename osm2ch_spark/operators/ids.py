@@ -37,12 +37,21 @@ def with_sequential_id(
     group_cols: list[str],
     order_cols: list[str],
     id_col: str,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Add ``id_col`` = 1-based gapless rank under the total order
     ``(group_cols, order_cols)``, which must be duplicate-free.  Groups
     must be contiguous in that total order (true for per-file grouping
     when the order key starts with the file identity or with ids assigned
-    in file order)."""
+    in file order).
+
+    ``persist_input``: the counts branch and the main branch both consume
+    df; persisting computes it once.  Pass False when df is a cheap
+    transform of already-persisted inputs — recomputing a narrow hash
+    join is cheaper than caching millions of rows."""
+    if persist_input:
+        df = df.persist()
+
     w_local = Window.partitionBy(*group_cols).orderBy(*[F.col(c) for c in order_cols])
     local = F.row_number().over(w_local)
 

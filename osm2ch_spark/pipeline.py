@@ -106,28 +106,51 @@ def split_ways_to_edges(ways: DataFrame, nodes: DataFrame, use_counts: DataFrame
             F.collect_list(F.struct("pos", "node_id", "lon", "lat", "use_count"))
         ).alias("pts")
     )
+    # ship four parallel primitive arrays across Arrow (struct access from
+    # pandas is dict-of-row — an order of magnitude slower per element)
+    grouped = grouped.select(
+        "way_id", "oneway", "repo", "path", "seq",
+        F.transform("pts", lambda p: p.node_id).alias("nids"),
+        F.transform("pts", lambda p: p.lon).alias("lons"),
+        F.transform("pts", lambda p: p.lat).alias("lats"),
+        F.transform("pts", lambda p: p.use_count).alias("ucnts"),
+    )
 
     def split(batches):
         import pandas as pd
 
         for pdf in batches:
             out = {k.name: [] for k in EDGE_SCHEMA.fields}
-            for way_id, oneway, repo, path, seq, pts in zip(
-                pdf["way_id"], pdf["oneway"], pdf["repo"], pdf["path"], pdf["seq"], pdf["pts"]
-            ):
-                node_ids = np.array([p["node_id"] for p in pts], dtype=np.int64)
-                lons = np.array([p["lon"] for p in pts], dtype=np.float64)
-                lats = np.array([p["lat"] for p in pts], dtype=np.float64)
-                ucnt = np.array([p["use_count"] for p in pts], dtype=np.int64)
+            # ONE vectorized haversine over every consecutive pair of every
+            # way in the batch (per-way kernel calls have fixed numpy
+            # overhead that dominates on short ways); pairs that cross way
+            # boundaries are never read back.
+            lens = pdf["nids"].map(len).to_numpy()
+            if len(lens) == 0:
+                yield pd.DataFrame(out)
+                continue
+            flat_lons = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["lons"]])
+            flat_lats = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["lats"]])
+            if len(flat_lons) > 1:
+                all_d = geom.great_circle_distance(
+                    flat_lons[:-1], flat_lats[:-1], flat_lons[1:], flat_lats[1:]
+                )
+            else:
+                all_d = np.zeros(0)
+            offsets = np.concatenate([[0], np.cumsum(lens)])
+            for row_i, (way_id, oneway, repo, path, seq, nids, pucnt) in enumerate(zip(
+                pdf["way_id"], pdf["oneway"], pdf["repo"], pdf["path"], pdf["seq"],
+                pdf["nids"], pdf["ucnts"],
+            )):
+                node_ids = np.asarray(nids, dtype=np.int64)
+                ucnt = np.asarray(pucnt, dtype=np.int64)
                 n = len(node_ids)
                 if n == 0:
                     continue
-                # vectorized haversine of every consecutive pair, then the
-                # per-segment cost is a slice-sum (osm_loader.go:244)
-                if n > 1:
-                    dists = geom.great_circle_distance(lons[:-1], lats[:-1], lons[1:], lats[1:])
-                else:
-                    dists = np.zeros(0)
+                o = offsets[row_i]
+                lons = flat_lons[o : o + n]
+                lats = flat_lats[o : o + n]
+                dists = all_d[o : o + n - 1] if n > 1 else np.zeros(0)
                 start = 0
                 seg = 0
                 for i in range(1, n):
@@ -169,9 +192,15 @@ def split_ways_to_edges(ways: DataFrame, nodes: DataFrame, use_counts: DataFrame
             yield pd.DataFrame(out)
 
     segments = grouped.mapInPandas(split, EDGE_SCHEMA)
-    return with_sequential_id(
-        segments, ["repo", "path"], ["seq", "seg_index", "direction"], "edge_id"
+    # _idb buckets the per-file group so numbering stays parallel even
+    # when one file dominates (order-aligned: floor(seq/256) is monotone
+    # in seq, so (repo, path, _idb) groups are contiguous in the global
+    # (repo, path, seq, seg, dir) order).
+    segments = segments.withColumn("_idb", F.floor(F.col("seq") / 256))
+    out = with_sequential_id(
+        segments, ["repo", "path", "_idb"], ["seq", "seg_index", "direction"], "edge_id"
     )
+    return out.drop("_idb")
 
 
 def filter_vertices_used(nodes: DataFrame, use_counts: DataFrame) -> DataFrame:
@@ -195,6 +224,14 @@ def expand_edges(edges: DataFrame) -> DataFrame:
     Skew note: hub intersections make target_node skewed; AQE skew-join
     handles the build side at scale (session.py turns it on).
     """
+    # edges is consumed twice (build and probe side of the self-join);
+    # persist so the split UDF + numbering run once (cacheManager dedups
+    # if the caller persisted the same plan already).
+    edges = edges.persist()
+    # Only endpoint SCALARS travel through the join/numbering/anti-joins
+    # (the F6 check needs just the first/last geometry points); the full
+    # arrays are re-joined at splice time — this keeps the big shuffles
+    # narrow (order-of-magnitude less shuffle volume at scale).
     e1 = edges.select(
         F.col("edge_id").alias("src_edge_id"),
         F.col("repo").alias("src_repo"),
@@ -204,8 +241,10 @@ def expand_edges(edges: DataFrame) -> DataFrame:
         F.col("target_node").alias("src_target_node"),
         F.col("was_oneway").alias("one_way"),
         F.col("cost_km").alias("src_cost"),
-        F.col("geom_lons").alias("src_lons"),
-        F.col("geom_lats").alias("src_lats"),
+        F.element_at("geom_lons", 1).alias("s_lon0"),
+        F.element_at("geom_lats", 1).alias("s_lat0"),
+        F.element_at("geom_lons", -1).alias("s_lon1"),
+        F.element_at("geom_lats", -1).alias("s_lat1"),
     )
     e2 = edges.select(
         F.col("edge_id").alias("dst_edge_id"),
@@ -213,27 +252,39 @@ def expand_edges(edges: DataFrame) -> DataFrame:
         F.col("source_node").alias("dst_source_node"),
         F.col("target_node").alias("dst_target_node"),
         F.col("cost_km").alias("dst_cost"),
-        F.col("geom_lons").alias("dst_lons"),
-        F.col("geom_lats").alias("dst_lats"),
+        F.element_at("geom_lons", 1).alias("d_lon0"),
+        F.element_at("geom_lats", 1).alias("d_lat0"),
+        F.element_at("geom_lons", -1).alias("d_lon1"),
+        F.element_at("geom_lats", -1).alias("d_lat1"),
     )
     j = e1.join(e2, F.col("src_target_node") == F.col("dst_source_node"), "inner")
     # F5 — osm_loader.go:302-304
     j = j.filter(F.col("src_edge_id") != F.col("dst_edge_id"))
     # F6 — osm_loader.go:306-312: exact float equality on endpoint pairs
     cyc = (
-        (F.element_at("src_lons", 1) == F.element_at("dst_lons", -1))
-        & (F.element_at("src_lats", 1) == F.element_at("dst_lats", -1))
-        & (F.element_at("src_lons", -1) == F.element_at("dst_lons", 1))
-        & (F.element_at("src_lats", -1) == F.element_at("dst_lats", 1))
+        (F.col("s_lon0") == F.col("d_lon1"))
+        & (F.col("s_lat0") == F.col("d_lat1"))
+        & (F.col("s_lon1") == F.col("d_lon0"))
+        & (F.col("s_lat1") == F.col("d_lat0"))
     )
     j = j.filter(~cyc)
+    j = j.drop("s_lon0", "s_lat0", "s_lon1", "s_lat1", "d_lon0", "d_lat0", "d_lon1", "d_lat1")
     j = j.withColumn("weight", (F.col("src_cost") + F.col("dst_cost")) / F.lit(2.0))
     # ID2 grouping: edge ids are file-contiguous (assigned in (repo, path)
-    # order), so pairs grouped by e1's file are contiguous under the
-    # global (src_edge_id, dst_edge_id) order.
-    return with_sequential_id(
-        j, ["src_repo", "src_path"], ["src_edge_id", "dst_edge_id"], "expanded_id"
+    # order), so pairs grouped by (e1's file, floor(src_edge_id/2048)) are
+    # contiguous under the global (src_edge_id, dst_edge_id) order; the
+    # bucket keeps numbering parallel when one file dominates.
+    j = j.withColumn("_idb", F.floor(F.col("src_edge_id") / 2048))
+    out = with_sequential_id(
+        j,
+        ["src_repo", "src_path", "_idb"],
+        ["src_edge_id", "dst_edge_id"],
+        "expanded_id",
+        # j is a narrow hash join of the persisted edges table — cheaper
+        # to recompute for the counts branch than to cache millions of rows
+        persist_input=False,
     )
+    return out.drop("_idb")
 
 
 def ways_seen(ways: DataFrame) -> DataFrame:
@@ -287,13 +338,34 @@ EXPANDED_GEOM_FIELDS = [
 ]
 
 
-def splice_geometry(expanded: DataFrame) -> DataFrame:
+def splice_geometry(expanded: DataFrame, edges: DataFrame) -> DataFrame:
     """G6 + G7 — osm_loader.go:315-320,337: expanded-edge geometry =
     [from-middle] ++ from.Geom[i+1:] ++ to.Geom[:j+1] ++ [to-middle].
 
-    Arrow batch pass; per-row numpy.  Also emits the WKT string here with
-    Python's Go-parity %.6f (Java's format_string rounds HALF_UP and can
-    differ on exact half-boundary doubles)."""
+    Re-joins the constituent-edge geometries (kept out of the expansion
+    shuffle on purpose), then one Arrow batch pass; per-row numpy.  Also
+    emits the WKT string here with Python's Go-parity %.6f (Java's
+    format_string rounds HALF_UP and can differ on exact half-boundary
+    doubles)."""
+    g = edges.select("edge_id", "geom_lons", "geom_lats")
+    expanded = (
+        expanded.join(
+            g.select(
+                F.col("edge_id").alias("src_edge_id"),
+                F.col("geom_lons").alias("src_lons"),
+                F.col("geom_lats").alias("src_lats"),
+            ),
+            "src_edge_id",
+        )
+        .join(
+            g.select(
+                F.col("edge_id").alias("dst_edge_id"),
+                F.col("geom_lons").alias("dst_lons"),
+                F.col("geom_lats").alias("dst_lats"),
+            ),
+            "dst_edge_id",
+        )
+    )
     keep = [c for c in expanded.columns if c not in ("src_lons", "src_lats", "dst_lons", "dst_lats")]
     schema = StructType(
         [expanded.schema[c] for c in keep] + EXPANDED_GEOM_FIELDS
@@ -342,16 +414,18 @@ def build_expanded(source: DataFrame, entity: str = P.DEFAULT_ENTITY,
     dst_source_node, dst_target_node, geom_lons, geom_lats, geom_wkt.
     """
     records = parse_source(source)
-    ways = P.scan_ways(records, entity, tag_whitelist)
+    # ways feeds four subtrees (node semi-join, use counts, split, seen)
+    ways = P.scan_ways(records, entity, tag_whitelist).persist()
     nodes = P.scan_nodes(records, ways)
     restrictions = P.scan_restrictions(records)
     counts = node_use_count(ways)
-    edges = split_ways_to_edges(ways, nodes, counts)
+    # edges feeds the expansion twice (e1/e2) and the splice geometry join
+    edges = split_ways_to_edges(ways, nodes, counts).persist()
     expanded = expand_edges(edges)
     seen = ways_seen(ways)
     expanded = apply_no_restrictions(expanded, restrictions, seen)
     expanded = apply_only_restrictions(expanded, restrictions, seen)
-    expanded = splice_geometry(expanded)
+    expanded = splice_geometry(expanded, edges)
     return expanded.select(
         "expanded_id",
         F.col("src_edge_id").alias("source_vertex"),

@@ -145,7 +145,8 @@ def tpch_rules(expanded: DataFrame) -> DataFrame:
 def tpch_final_expanded(spark, sf_dir) -> DataFrame:
     """Expansion + both restriction passes (J4 then J5)."""
     ways = tpch_ways(spark, sf_dir)
-    expanded = tpch_expanded(spark, sf_dir)
+    # expanded feeds three subtrees (base + rule derivation + anti-joins)
+    expanded = tpch_expanded(spark, sf_dir).persist()
     rules = tpch_rules(expanded)
     seen = pipeline.ways_seen(ways)
     out = pipeline.apply_no_restrictions(expanded, rules, seen)
