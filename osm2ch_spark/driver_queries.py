@@ -279,14 +279,17 @@ def q_dedup_first_wins(spark, sf):
 @register(
     "project_units",
     OSM_WORLD_CTE
-    + "SELECT edge_id, ROUND(cost * 1000.0, 6) AS cost_m FROM edges_w",
+    + "SELECT edge_id, ROUND(cost, 6) * 1000.0 AS cost_m FROM edges_w",
 )
 def q_project_units(spark, sf):
     """P4 — cmd/osm2ch/main.go:111-113: km → m at the sink."""
     from osm2ch_spark.sinks import project_units
 
     return W.tpch_edges(spark, sf).select(
-        "edge_id", F.round(project_units(F.col("cost_km"), "m"), 6).alias("cost_m")
+        "edge_id",
+        # round the km value BEFORE the unit scale: rounding after x1000
+        # amplifies cross-engine trig ulps onto the 6th-decimal boundary
+        project_units(F.round(F.col("cost_km"), 6), "m").alias("cost_m"),
     )
 
 

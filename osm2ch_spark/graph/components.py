@@ -23,15 +23,17 @@ from osm2ch_spark.graph.checkpoint import CheckpointManager, localcheckpoint
 
 def _large_star(e: DataFrame) -> DataFrame:
     """For each u over symmetric neighbors: connect strictly larger
-    neighbors to m = min(Γ(u) ∪ {u})."""
+    neighbors to m = min(Γ(u) ∪ {u}).  Join-based (a per-key min + an
+    equi-join) — no collect_set arrays, so hub vertices cost O(degree)
+    narrow rows instead of one giant list row."""
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    g = sym.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-    g = g.select(
-        "u",
-        F.least(F.col("u"), F.array_min("nbrs")).alias("m"),
-        F.filter("nbrs", lambda x: x > F.col("u")).alias("bigger"),
+    mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
+    mins = mins.select("u", F.least("u", "mv").alias("m"))
+    out = (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
-    out = g.select(F.explode("bigger").alias("u"), F.col("m").alias("v"))
     return out.filter(F.col("u") != F.col("v")).distinct()
 
 
@@ -39,23 +41,22 @@ def _small_star(e: DataFrame) -> DataFrame:
     """Canonicalize so u = max: for each u connect all smaller-or-equal
     neighbors (and u itself) to their min."""
     canon = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-    g = canon.groupBy("u").agg(F.collect_set("v").alias("nbrs"))
-    g = g.select("u", F.array_min("nbrs").alias("m"), "nbrs")
-    pairs = g.select(
-        F.explode(F.array_union("nbrs", F.array("u"))).alias("x"), F.col("m")
+    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
+    out = (
+        canon.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
     )
-    out = pairs.select(F.col("x").alias("u"), F.col("m").alias("v")).filter(
-        F.col("u") != F.col("v")
-    )
-    return out.distinct()
+    return out.filter(F.col("u") != F.col("v")).distinct()
 
 
 def _signature(e: DataFrame):
-    canon = e.select(F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")).distinct()
-    row = canon.agg(
+    """Deterministic set signature (count + two order-insensitive hash
+    sums) — e is already distinct, no extra canonicalization pass."""
+    row = e.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.hash("a", "b").cast("long")).alias("s"),
-        F.sum(F.hash("b", "a").cast("long")).alias("s2"),
+        F.sum(F.hash("u", "v").cast("long")).alias("s"),
+        F.sum(F.hash("v", "u").cast("long")).alias("s2"),
     ).collect()[0]
     return (row["n"], row["s"], row["s2"])
 
