@@ -228,3 +228,28 @@ def wkt_linestring(line) -> str:
 def wkt_point(p) -> str:
     """converter_wkt.go:18-20 (G12)."""
     return f"POINT({p[0]:.6f} {p[1]:.6f})"
+
+
+def geojson_linestring(line) -> str:
+    """converter_geojson.go:10-21 (G13).
+
+    Byte parity with Go is NOT claimed here (Go marshals via its
+    shortest-float repr, which differs from Python's in edge cases —
+    SURVEY.md §2.7); parsed-value equality is the contract, covered by
+    allclose tests."""
+    import json
+
+    coords = [[float(p[0]), float(p[1])] for p in np.asarray(line)]
+    return json.dumps(
+        {"type": "LineString", "coordinates": coords}, separators=(",", ":")
+    )
+
+
+def geojson_point(p) -> str:
+    """converter_geojson.go:24-31 (G13)."""
+    import json
+
+    return json.dumps(
+        {"type": "Point", "coordinates": [float(p[0]), float(p[1])]},
+        separators=(",", ":"),
+    )

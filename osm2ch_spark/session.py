@@ -57,7 +57,10 @@ def get_spark(
         # Timestamps in parquet testdata are µs; keep them stable.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM hosts all executor threads — size it
+        # for (cpus × per-task hash maps + cached shards); must be set
+        # before the JVM starts.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

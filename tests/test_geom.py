@@ -93,3 +93,16 @@ def test_go_float_parity_property(x):
     assert len(frac) == 6
     # round-trip error bounded by half an ulp of the 6th decimal
     assert abs(float(s) - x) <= 5e-7 + 1e-12
+
+
+def test_geojson():
+    # converter_geojson.go:10-31 — parsed-value equality (Go shortest-float
+    # repr differs from Python's in edge cases; byte parity not claimed)
+    import json
+
+    s = geom.geojson_linestring(np.array([P1, P2]))
+    d = json.loads(s)
+    assert d["type"] == "LineString"
+    assert np.allclose(d["coordinates"], [list(P1), list(P2)], atol=0)
+    p = json.loads(geom.geojson_point(P1))
+    assert p == {"type": "Point", "coordinates": [P1[0], P1[1]]}
