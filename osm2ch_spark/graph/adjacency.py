@@ -43,7 +43,12 @@ def build_adjacency(edges: DataFrame, num_buckets: int = 32, max_chunk: int = 40
         F.slice(F.col("wts"), F.col("chunk") * max_chunk + 1, max_chunk).alias("weights"),
         "out_degree",
     )
-    return adj.repartition(num_buckets, "src_bucket")
+    # partition by the JOIN KEY (hash(source_vertex)): the cached scan
+    # then satisfies the per-iteration rank⋈adjacency distribution
+    # requirement, so iterations reshuffle only the small rank side.
+    # (src_bucket == pmod(hash(source_vertex), P) documents the shard
+    # layout; the physical partitioning below is what the planner sees.)
+    return adj.repartition(num_buckets, "source_vertex")
 
 
 def vertices_table(edges: DataFrame) -> DataFrame:

@@ -77,7 +77,9 @@ class CheckpointManager:
         return spark.read.parquet(meta["checkpoint_path"]), meta["iteration"]
 
 
-def localcheckpoint(df: DataFrame) -> DataFrame:
+def localcheckpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Lineage cut without durable storage (used between durable commits
-    to stop plan growth in the driver loop)."""
-    return df.localCheckpoint(eager=True)
+    to stop plan growth in the driver loop).  Pass eager=False when the
+    next driver-side action will materialize it anyway — halves the jobs
+    per iteration."""
+    return df.localCheckpoint(eager=eager)

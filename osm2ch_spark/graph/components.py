@@ -34,7 +34,9 @@ def _large_star(e: DataFrame) -> DataFrame:
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
     )
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    # no distinct here: small_star's min-agg is duplicate-insensitive and
+    # its final distinct restores set semantics — saves a shuffle per round
+    return out.filter(F.col("u") != F.col("v"))
 
 
 def _small_star(e: DataFrame) -> DataFrame:
@@ -66,6 +68,7 @@ def connected_components(
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """Returns (vertex, component) for every vertex of the edge table."""
     spark = edges.sparkSession
@@ -75,12 +78,19 @@ def connected_components(
         .distinct()
         .persist()
     )
-    e = undirected_edges(edges)
-    e = localcheckpoint(e)
     ckpt = CheckpointManager(checkpoint_dir, "connected_components", every=checkpoint_every)
 
+    start_iter = 0
+    e = None
+    if resume and checkpoint_dir:
+        got = ckpt.resume(spark)
+        if got is not None:
+            e, start_iter = got
+    if e is None:
+        e = localcheckpoint(undirected_edges(edges))
+
     sig = _signature(e)
-    for it in range(1, max_iter + 1):
+    for it in range(start_iter + 1, max_iter + 1):
         e = localcheckpoint(_small_star(_large_star(e)))
         new_sig = _signature(e)
         if checkpoint_dir and ckpt.should_commit(it):

@@ -24,16 +24,24 @@ def label_propagation(
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    resume: bool = False,
 ) -> DataFrame:
     """Returns (vertex, label) at convergence (or max_iter)."""
     e = undirected_edges(edges)
     e = localcheckpoint(e)
-
-    verts = e.select(F.col("u").alias("vertex")).distinct()
-    labels = localcheckpoint(verts.select("vertex", F.col("vertex").alias("label")))
     ckpt = CheckpointManager(checkpoint_dir, "label_propagation", every=checkpoint_every)
 
-    for it in range(1, max_iter + 1):
+    start_iter = 0
+    labels = None
+    if resume and checkpoint_dir:
+        got = ckpt.resume(e.sparkSession)
+        if got is not None:
+            labels, start_iter = got
+    if labels is None:
+        verts = e.select(F.col("u").alias("vertex")).distinct()
+        labels = localcheckpoint(verts.select("vertex", F.col("vertex").alias("label")))
+
+    for it in range(start_iter + 1, max_iter + 1):
         nbr_labels = e.join(
             labels.select(F.col("vertex").alias("v"), "label"), "v", "inner"
         ).select(F.col("u").alias("vertex"), "label")

@@ -87,22 +87,32 @@ def pagerank(
         )
         new_ranks = localcheckpoint(new_ranks)
 
-        # one sync job: L1 delta + next dangling mass
-        stats = (
-            new_ranks.alias("n")
-            .join(ranks.select("vertex", F.col("rank").alias("old")).alias("o"), "vertex")
-            .agg(
-                F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
-                F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias("dang"),
+        if tol > 0.0:
+            # one sync job: L1 delta + next dangling mass
+            stats = (
+                new_ranks.alias("n")
+                .join(ranks.select("vertex", F.col("rank").alias("old")).alias("o"), "vertex")
+                .agg(
+                    F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
+                    F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias("dang"),
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        delta = stats["delta"] or 0.0
-        dangling = stats["dang"] or 0.0
+            delta = stats["delta"] or 0.0
+            dangling = stats["dang"] or 0.0
+        else:
+            # fixed-iteration mode: no convergence sync needed — the
+            # checkpoint materialization is the only action; dangling mass
+            # comes from a one-row agg over the (cached) new ranks.
+            delta = float("inf")
+            dangling = (
+                new_ranks.filter(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0]
+                or 0.0
+            )
         ranks = new_ranks
         if ckpt.should_commit(it) or delta <= n * tol or it == max_iter:
             if checkpoint_dir:
-                ranks = ckpt.commit(ranks, it, float(delta), n)
+                ranks = ckpt.commit(ranks, it, float(delta) if delta != float("inf") else -1.0, n)
         if delta <= n * tol:
             break
 

@@ -313,7 +313,10 @@ def apply_no_restrictions(expanded: DataFrame, restrictions: DataFrame, seen: Da
     rules = _valid_rules(restrictions, seen, NO_TYPES).select(
         F.col("from_id").alias("source_way"), F.col("to_id").alias("target_way")
     )
-    return expanded.join(F.broadcast(rules), ["source_way", "target_way"], "left_anti")
+    # no broadcast hint: real restriction tables are tiny and Catalyst
+    # broadcasts them on its own; a forced hint breaks down when a caller
+    # passes a large rules table (AQE then picks shuffled hash join)
+    return expanded.join(rules, ["source_way", "target_way"], "left_anti")
 
 
 def apply_only_restrictions(expanded: DataFrame, restrictions: DataFrame, seen: DataFrame) -> DataFrame:
@@ -328,7 +331,7 @@ def apply_only_restrictions(expanded: DataFrame, restrictions: DataFrame, seen: 
         & (F.col("target_way") != F.col("r_to"))
         & (F.col("src_target_node") == F.col("r_via"))
     )
-    return expanded.join(F.broadcast(rules), cond, "left_anti")
+    return expanded.join(rules, cond, "left_anti")
 
 
 EXPANDED_GEOM_FIELDS = [

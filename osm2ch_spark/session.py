@@ -41,6 +41,10 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
     )
+    extra_conf = dict(extra_conf or {})
+    mem = extra_conf.pop(
+        "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+    )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -59,8 +63,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # local mode: the driver JVM hosts all executor threads — size it
         # for (cpus × per-task hash maps + cached shards); must be set
-        # before the JVM starts.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # before the JVM starts.  Pre-sizing the heap (-Xms == -Xmx) and
+        # ParallelGC remove multi-second GC/heap-growth stalls observed
+        # under 32-thread shuffle+window load in this sandbox.
+        .config("spark.driver.memory", mem)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS",
+                # AlwaysPreTouch: fault the whole heap in at JVM start —
+                # this sandbox VM provisions pages lazily and first-touch
+                # stalls otherwise dominate the first big query.
+                f"-Xms{mem} -XX:+UseParallelGC -XX:+AlwaysPreTouch",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

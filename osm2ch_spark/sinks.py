@@ -129,9 +129,25 @@ def vertices_csv_rows(expanded: DataFrame) -> DataFrame:
 
 def write_csv(rows: DataFrame, order_col: str, path: str, header: str) -> None:
     """Write a single ordered CSV file (driver-side small outputs only;
-    at scale use .write.csv partitioned, order within files)."""
+    at scale use write_csv_dist — partitioned files, ordered within and
+    across files by the range partitioner)."""
     data = [r["csv_row"] for r in rows.orderBy(order_col).collect()]
     with open(path, "w") as f:
         f.write(header + "\n")
         for line in data:
             f.write(line + "\n")
+
+
+def write_csv_dist(rows: DataFrame, order_col: str, path: str, num_files: int | None = None) -> None:
+    """Distributed sink: range-partition by the order column so file
+    part-00000 < part-00001 < … and rows are sorted within each file —
+    a global order without a single-reducer bottleneck.  (The reference
+    writes one file from one process; at 100 TB the order contract is
+    'concatenation of parts in name order'.)  Header excluded (text sink);
+    readers prepend EDGES_HEADER/VERTICES_HEADER."""
+    d = rows
+    if num_files:
+        d = d.repartitionByRange(num_files, order_col)
+    else:
+        d = d.repartitionByRange(order_col)
+    d.sortWithinPartitions(order_col).select("csv_row").write.mode("overwrite").text(path)

@@ -12,7 +12,7 @@ so we PROJECT one deterministically out of TPC-H:
                         node equality, which makes the F6 U-turn filter
                         SQL-expressible)
   restriction rules    := sampled from the expanded pairs themselves
-                        (expanded_id % 17 == 0) so the anti-joins always
+                        (expanded_id % 101 == 0) so the anti-joins always
                         have real hits
 
 Every downstream operator (use counts, way splitting W1, expansion J3,
@@ -117,7 +117,7 @@ def tpch_expanded(spark, sf_dir) -> DataFrame:
 def tpch_rules(expanded: DataFrame) -> DataFrame:
     """Deterministic restriction rules sampled from the expanded pairs,
     in the parse stage's restrictions schema."""
-    r = expanded.filter(F.col("expanded_id") % 17 == 0).select(
+    r = expanded.filter(F.col("expanded_id") % 101 == 0).select(
         (F.col("expanded_id") % 6).alias("kind"),
         F.col("source_way").alias("from_id"),
         F.col("target_way").alias("to_id"),
@@ -265,7 +265,7 @@ expanded_w AS (
 rules_w AS (
   SELECT DISTINCT expanded_id % 6 AS kind, source_way AS r_from, target_way AS r_to,
          src_target_node AS r_via
-  FROM expanded_w WHERE expanded_id % 17 = 0),
+  FROM expanded_w WHERE expanded_id % 101 = 0),
 after_no AS (
   SELECT e.* FROM expanded_w e WHERE NOT EXISTS (
     SELECT 1 FROM rules_w r WHERE r.kind < 3

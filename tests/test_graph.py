@@ -136,3 +136,31 @@ def test_lineage_rows(spark, tmp_path, graphs):
     assert [m["iteration"] for m in lineage] == [2, 4]
     for m in lineage:
         assert m["rows"] > 0 and m["checkpoint_path"] and "delta" in m and m["partitions"] > 0
+
+
+def test_cc_lpa_resume(spark, tmp_path, graphs):
+    """Resume mid-run → identical final state (CC edge-set, LPA labels)."""
+    edges = graphs["multi_component"]
+    df = edge_df(spark, edges)
+
+    full_cc = {r["vertex"]: r["component"] for r in connected_components(df).collect()}
+    ck = str(tmp_path / "cc")
+    connected_components(df, max_iter=1, checkpoint_dir=ck, checkpoint_every=1)
+    resumed_cc = {
+        r["vertex"]: r["component"]
+        for r in connected_components(
+            df, checkpoint_dir=ck, checkpoint_every=1, resume=True
+        ).collect()
+    }
+    assert resumed_cc == full_cc
+
+    full_lpa = {r["vertex"]: r["label"] for r in label_propagation(df, max_iter=8).collect()}
+    ck2 = str(tmp_path / "lpa")
+    label_propagation(df, max_iter=3, checkpoint_dir=ck2, checkpoint_every=1)
+    resumed_lpa = {
+        r["vertex"]: r["label"]
+        for r in label_propagation(
+            df, max_iter=8, checkpoint_dir=ck2, checkpoint_every=1, resume=True
+        ).collect()
+    }
+    assert resumed_lpa == full_lpa

@@ -111,3 +111,24 @@ def test_multi_file_order(spark):
     assert [(g_["expanded_id"], g_["source_vertex"], g_["target_vertex"]) for g_ in got] == [
         (e["id"], e["source"], e["target"]) for e in exp
     ]
+
+
+def test_write_csv_dist(spark, tmp_path):
+    """Distributed CSV sink: concatenating part files in name order must
+    equal the single-file driver-side sink output."""
+    import glob
+
+    records = fixtures.micrographs()["t_junction"]
+    src = fixtures.source_df(spark, [fixtures.records_to_row(records)])
+    rows = sinks.edges_csv_rows(pipeline.build_expanded(src))
+
+    single = str(tmp_path / "single.csv")
+    sinks.write_csv(rows, "expanded_id", single, sinks.EDGES_HEADER)
+    expected = open(single).read().splitlines()[1:]  # drop header
+
+    dist_dir = str(tmp_path / "dist")
+    sinks.write_csv_dist(rows, "expanded_id", dist_dir, num_files=2)
+    got = []
+    for part in sorted(glob.glob(dist_dir + "/part-*")):
+        got.extend(open(part).read().splitlines())
+    assert got == expected
