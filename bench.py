@@ -82,7 +82,7 @@ def headline_queries(sf_dir=None):
         e = W.tpch_expanded(spark, sf_dir).select(
             F.col("src_edge_id").alias("s"), F.col("dst_edge_id").alias("t")
         )
-        reps = spark.range(10)
+        reps = spark.range(6)
         big = (
             e.crossJoin(reps)
             .select(
@@ -92,7 +92,11 @@ def headline_queries(sf_dir=None):
             .withColumn("weight", F.lit(1.0))
             .withColumn("one_way", F.lit(False))
         )
-        big = big.localCheckpoint(eager=True)
+        # materialize to parquet, not heap cache: the cached blocks would
+        # starve execution memory for the aggregation-heavy iterations
+        path = "/tmp/bench_big_edges"
+        big.write.mode("overwrite").parquet(path)
+        big = spark.read.parquet(path)
         n_edges = big.count()
         pagerank(big, max_iter=3, tol=0.0).count()
         return n_edges * 3
@@ -171,24 +175,25 @@ def run_once(cpus: int, names=None, reps: int = 1) -> dict:
     return out
 
 
+def _spin(_):
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < 2.0:
+        for _ in range(10000):
+            x += 1
+    return x
+
+
 def cpu_calibration() -> dict:
     """Raw-CPU 8→32 speedup of this box — the hardware ceiling that the
     Spark scaling efficiency is normalized against (vCPUs in this sandbox
     do not deliver 4x from 8 to 32 even for pure python loops)."""
     import multiprocessing as mp
 
-    def spin(_):
-        t0 = time.perf_counter()
-        x = 0
-        while time.perf_counter() - t0 < 2.0:
-            for _ in range(10000):
-                x += 1
-        return x
-
     rates = {}
     for procs in (8, 32):
         with mp.Pool(procs) as p:
-            rates[procs] = sum(p.map(spin, range(procs))) / 2.0
+            rates[procs] = sum(p.map(_spin, range(procs))) / 2.0
     return {"hw_speedup_8_to_32": round(rates[32] / rates[8], 3)}
 
 
@@ -208,7 +213,11 @@ def main():
                 [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), "--scaling-set"],
                 capture_output=True,
                 text=True,
-                env={**os.environ, "SPARK_GRAFT_CPUS": str(cpus)},
+                env={
+                    **os.environ,
+                    "SPARK_GRAFT_CPUS": str(cpus),
+                    "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "80g"),
+                },
             )
             line = [l for l in p.stdout.splitlines() if l.startswith("BENCH_RESULT ")]
             if not line:
