@@ -163,6 +163,9 @@ def run_once(cpus: int, names=None, reps: int = 1) -> dict:
         best = None
         rows = 0
         for _ in range(reps):
+            # identical plans across reps would hit the pipeline's
+            # internal persist() caches — clear so every rep is honest
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             rows = fn(spark)
             dt = time.perf_counter() - t0
