@@ -158,9 +158,7 @@ def q_dedup_ngram_jaccard(spark, sf):
     )
 
 
-@register(
-    "dedup_simhash",
-    """WITH tk AS (
+_SIMHASH_CTES = """tk AS (
         SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents),
       bits AS (
@@ -170,9 +168,16 @@ def q_dedup_ngram_jaccard(spark, sf):
         FROM tk, (SELECT unnest(generate_series(0, 15)) AS b) b),
       maj AS (
         SELECT doc_id, b, CASE WHEN 2 * SUM(bit) > COUNT(*) THEN 1 ELSE 0 END AS m
-        FROM bits GROUP BY doc_id, b)
-      SELECT doc_id, CAST(SUM(m * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash
-      FROM maj GROUP BY doc_id""",
+        FROM bits GROUP BY doc_id, b),
+      sim AS (
+        SELECT doc_id, CAST(SUM(m * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash
+        FROM maj GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_simhash",
+    "WITH " + _SIMHASH_CTES + "SELECT doc_id, simhash FROM sim",
 )
 def q_dedup_simhash(spark, sf):
     """16-bit SimHash: per-bit majority over token md5 nibble top-bits."""

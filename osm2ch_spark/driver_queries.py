@@ -709,29 +709,105 @@ def q_wkt_linestring(spark, sf):
 
 
 # ---------------------------------------------------------------------------
-# Sinks (S4-S5) — CSV row formatting path
+# Geometry splice (G6+G7) + Sinks (S4-S5) — CSV row formatting path
 # ---------------------------------------------------------------------------
+
+# The expanded-edge geometry splice, reconstructed relationally: per-edge
+# point lists (direction 1 reversed), the Euclidean midpoint walk with
+# LAST-satisfying-segment semantics (geomath.go:143-161 — QUALIFY picks
+# the last hit), and the [from-mid] ++ from[bi+1:] ++ to[:bj+1] ++ [to-mid]
+# string assembly (osm_loader.go:315-320).  `ol` uses LAG(cl) (not cl-d)
+# and `half` uses MAX(cl) (cl is nondecreasing) so the float accumulation
+# matches the Spark side's sequential left-to-right sums.  The walk is
+# pure +,*,/,sqrt — no trig — so values are bit-identical across engines
+# and the %.6f strings compare exactly.
+_SPLICE_CTE = """
+, edge_pts AS (
+  SELECT e.edge_id, m.lon, m.lat,
+         ROW_NUMBER() OVER (PARTITION BY e.edge_id
+           ORDER BY CASE WHEN e.direction = 0 THEN m.pos ELSE -m.pos END) AS k
+  FROM edges_w e JOIN members m ON m.way_id = e.way_id AND m.seg = e.seg_index),
+edge_ids_all AS (SELECT DISTINCT edge_id FROM edge_pts),
+esegd AS (
+  SELECT edge_id, k, plon, plat, lon, lat,
+         sqrt((lon-plon)*(lon-plon) + (lat-plat)*(lat-plat)) AS d
+  FROM (
+    SELECT edge_id, k, lon, lat,
+           LAG(lon) OVER (PARTITION BY edge_id ORDER BY k) AS plon,
+           LAG(lat) OVER (PARTITION BY edge_id ORDER BY k) AS plat
+    FROM edge_pts)
+  WHERE plon IS NOT NULL),
+ecums AS (
+  SELECT *, COALESCE(LAG(cl) OVER (PARTITION BY edge_id ORDER BY k), 0.0) AS ol,
+         MAX(cl) OVER (PARTITION BY edge_id) / 2.0 AS half
+  FROM (SELECT *, SUM(d) OVER (PARTITION BY edge_id ORDER BY k) AS cl FROM esegd)),
+ehit AS (
+  SELECT edge_id, CAST(k - 2 AS BIGINT) AS bi,
+         (1 - (half-ol)/d)*plon + ((half-ol)/d)*lon AS mlon,
+         (1 - (half-ol)/d)*plat + ((half-ol)/d)*lat AS mlat
+  FROM ecums WHERE half <= cl AND half > ol
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY edge_id ORDER BY k DESC) = 1),
+ecut AS (
+  SELECT a.edge_id, COALESCE(h.bi, 0) AS bi,
+         COALESCE(h.mlon, 0.0) AS mlon, COALESCE(h.mlat, 0.0) AS mlat
+  FROM edge_ids_all a LEFT JOIN ehit h USING (edge_id)),
+eparts AS (
+  SELECT p.edge_id,
+         string_agg(printf('%.6f %.6f', p.lon, p.lat), ',' ORDER BY p.k)
+           FILTER (WHERE p.k >= c.bi + 2) AS tail_str,
+         string_agg(printf('%.6f %.6f', p.lon, p.lat), ',' ORDER BY p.k)
+           FILTER (WHERE p.k <= c.bi + 1) AS head_str,
+         MIN(printf('%.6f %.6f', c.mlon, c.mlat)) AS mid_str
+  FROM edge_pts p JOIN ecut c USING (edge_id)
+  GROUP BY p.edge_id),
+epstr AS (
+  SELECT edge_id,
+         concat_ws(',', mid_str, tail_str) AS src_str,
+         concat_ws(',', head_str, mid_str) AS dst_str
+  FROM eparts),
+spliced AS (
+  SELECT f.*, 'LINESTRING(' || s.src_str || ',' || t.dst_str || ')' AS geom_wkt
+  FROM final_expanded f
+  JOIN epstr s ON s.edge_id = f.src_edge_id
+  JOIN epstr t ON t.edge_id = f.dst_edge_id)
+"""
+
+
+@register(
+    "splice_geometry",
+    OSM_WORLD_CTE + _SPLICE_CTE
+    + "SELECT expanded_id, geom_wkt FROM spliced",
+)
+def q_splice_geometry(spark, sf):
+    """G6+G7 — the spliced expanded-edge WKT through the REAL pipeline
+    (per-edge midpoint hoist + JVM splice), value-exact vs the relational
+    reconstruction (the midpoint walk is trig-free)."""
+    return W.tpch_spliced(spark, sf).select("expanded_id", "geom_wkt")
+
 
 @register(
     "sink_edges_csv",
-    OSM_WORLD_CTE
+    OSM_WORLD_CTE + _SPLICE_CTE
     + """SELECT expanded_id,
-         printf('%d;%d;%.6f;%s;%d;%d;%d;%d;%d;%d;%d', src_edge_id, dst_edge_id,
-                ROUND(weight, 1), CASE WHEN one_way THEN 'true' ELSE 'false' END,
+         printf('%d;%d;%.6f;%s;%s;%d;%d;%d;%d;%d;%d;%d', src_edge_id, dst_edge_id,
+                ROUND(weight, 1), geom_wkt,
+                CASE WHEN one_way THEN 'true' ELSE 'false' END,
                 expanded_id, source_way, target_way, src_source_node, src_target_node,
                 dst_source_node, dst_target_node) AS csv_row
-       FROM final_expanded""",
+       FROM spliced""",
 )
 def q_sink_edges_csv(spark, sf):
-    """S4 — the `;`-CSV row formatting (cmd/osm2ch/main.go:139-150); weight
-    pre-rounded to 1 decimal here so cross-engine trig ulps can't flip the
-    printf output (byte parity with Go is proven in pytest instead)."""
-    e = W.tpch_final_expanded(spark, sf)
+    """S4 — the full 12-column `;`-CSV row INCLUDING the spliced geometry
+    (cmd/osm2ch/main.go:139-150); weight pre-rounded to 1 decimal so
+    cross-engine trig ulps can't flip the printf output (byte parity of
+    the unrounded weight is proven in pytest instead)."""
+    e = W.tpch_spliced(spark, sf)
     row = F.format_string(
-        "%d;%d;%.6f;%s;%d;%d;%d;%d;%d;%d;%d",
+        "%d;%d;%.6f;%s;%s;%d;%d;%d;%d;%d;%d;%d",
         "src_edge_id",
         "dst_edge_id",
         F.round("weight", 1),
+        "geom_wkt",
         F.when(F.col("one_way"), F.lit("true")).otherwise(F.lit("false")),
         "expanded_id",
         "source_way",
@@ -741,7 +817,7 @@ def q_sink_edges_csv(spark, sf):
         "dst_source_node",
         "dst_target_node",
     )
-    return e.select("expanded_id", row.alias("csv_row"))
+    return e.filter(F.size("geom_lons") >= 2).select("expanded_id", row.alias("csv_row"))
 
 
 @register(

@@ -189,6 +189,83 @@ def find_middle_point(line: np.ndarray):
     return idx, result
 
 
+def find_middle_point_many(flat_lons, flat_lats, offsets):
+    """Vectorized G6 over a ragged batch of lines.
+
+    ``flat_lons``/``flat_lats``: all lines' points concatenated;
+    ``offsets``: (n_lines+1) prefix offsets.  Returns
+    ``(idx, mid_lon, mid_lat)`` arrays, bit-identical per line to
+    :func:`find_middle_point` (same left-to-right float accumulation via
+    column-wise sums over a padded matrix; padding zeros are exact
+    no-ops, and a padded column can never satisfy ``half <= cl and
+    half > ol`` because there ``ol == cl``).
+    """
+    flat_lons = np.asarray(flat_lons, dtype=np.float64)
+    flat_lats = np.asarray(flat_lats, dtype=np.float64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    E = len(offsets) - 1
+    idx_out = np.zeros(E, dtype=np.int64)
+    mlon = np.zeros(E, dtype=np.float64)
+    mlat = np.zeros(E, dtype=np.float64)
+    if E == 0 or len(flat_lons) == 0:
+        return idx_out, mlon, mlat
+    lens = np.diff(offsets)
+    # planar segment lengths over flat consecutive pairs; cross-line
+    # pairs are computed but never read back
+    if len(flat_lons) > 1:
+        dx = flat_lons[1:] - flat_lons[:-1]
+        dy = flat_lats[1:] - flat_lats[:-1]
+        seg_all = np.sqrt(dx * dx + dy * dy)
+    else:
+        seg_all = np.zeros(0)
+
+    MAXL = 4096
+    act = np.flatnonzero((lens >= 2) & (lens - 1 <= MAXL))
+    for r in np.flatnonzero(lens - 1 > MAXL):  # rare huge lines: scalar path
+        o, n = offsets[r], lens[r]
+        i, (x, y) = find_middle_point(
+            np.column_stack([flat_lons[o : o + n], flat_lats[o : o + n]])
+        )
+        idx_out[r], mlon[r], mlat[r] = i, x, y
+    if len(act) == 0:
+        return idx_out, mlon, mlat
+
+    sl = (lens[act] - 1).astype(np.int64)  # segments per active line
+    R = len(act)
+    L = int(sl.max())
+    mat = np.zeros((R, L), dtype=np.float64)
+    row = np.repeat(np.arange(R), sl)
+    cum = np.concatenate([[0], np.cumsum(sl)])
+    within = np.arange(int(sl.sum())) - np.repeat(cum[:-1], sl)
+    mat[row, within] = seg_all[np.repeat(offsets[act], sl) + within]
+    # sequential left-to-right accumulation, vectorized across rows
+    clmat = np.empty((R, L), dtype=np.float64)
+    run = np.zeros(R, dtype=np.float64)
+    for j in range(L):
+        run = run + mat[:, j]
+        clmat[:, j] = run
+    total = run  # padding zeros keep the running sum exact
+    half = total / 2.0
+    ol = np.concatenate([np.zeros((R, 1)), clmat[:, :-1]], axis=1)
+    valid = (half[:, None] <= clmat) & (half[:, None] > ol)
+    has = valid.any(axis=1)
+    rows = np.flatnonzero(has)
+    if len(rows) == 0:
+        return idx_out, mlon, mlat
+    k = L - 1 - np.argmax(valid[rows, ::-1], axis=1)  # LAST satisfying seg
+    tmp = mat[rows, k]
+    half_sub = half[rows] - ol[rows, k]
+    frac = half_sub / tmp
+    p0 = offsets[act[rows]] + k
+    x0, x1 = flat_lons[p0], flat_lons[p0 + 1]
+    y0, y1 = flat_lats[p0], flat_lats[p0 + 1]
+    g = act[rows]
+    idx_out[g] = k
+    mlon[g] = (1.0 - frac) * x0 + frac * x1
+    mlat[g] = (1.0 - frac) * y0 + frac * y1
+    return idx_out, mlon, mlat
+
+
 def calc_radius_curvature(line: np.ndarray) -> float:
     """Mean circumradius (Heron) over point triples ×1000 — geomath.go:26-39 (G9)."""
     line = np.asarray(line, dtype=np.float64)

@@ -119,77 +119,123 @@ def split_ways_to_edges(ways: DataFrame, nodes: DataFrame, use_counts: DataFrame
     def split(batches):
         import pandas as pd
 
+        def empty():
+            return pd.DataFrame(
+                {
+                    "way_id": np.zeros(0, np.int64),
+                    "repo": pd.Series([], dtype=object),
+                    "path": pd.Series([], dtype=object),
+                    "seq": np.zeros(0, np.int64),
+                    "seg_index": np.zeros(0, np.int64),
+                    "direction": np.zeros(0, np.int64),
+                    "source_node": np.zeros(0, np.int64),
+                    "target_node": np.zeros(0, np.int64),
+                    "was_oneway": np.zeros(0, bool),
+                    "cost_km": np.zeros(0, np.float64),
+                    "geom_lons": pd.Series([], dtype=object),
+                    "geom_lats": pd.Series([], dtype=object),
+                }
+            )
+
         for pdf in batches:
-            out = {k.name: [] for k in EDGE_SCHEMA.fields}
-            # ONE vectorized haversine over every consecutive pair of every
-            # way in the batch (per-way kernel calls have fixed numpy
-            # overhead that dominates on short ways); pairs that cross way
-            # boundaries are never read back.
-            lens = pdf["nids"].map(len).to_numpy()
-            if len(lens) == 0:
-                yield pd.DataFrame(out)
+            # Fully vectorized segmentation (no per-node Python):
+            #   1. flatten every way's node arrays into one batch-wide array
+            #   2. ONE haversine over every consecutive flat pair (cross-way
+            #      pairs are never read back)
+            #   3. segment ends = flat positions with use_count>1 that are
+            #      not a way's first node (osm_loader.go:240-244)
+            #   4. per-segment left-to-right cost sums via column-wise
+            #      accumulation over a (segments × max_len) padded matrix —
+            #      bit-identical to the Go loop order (x+0.0 == x exactly,
+            #      and haversines are non-negative so -0.0 never appears)
+            lens = pdf["nids"].map(len).to_numpy(dtype=np.int64)
+            if len(lens) == 0 or lens.sum() == 0:
+                yield empty()
                 continue
+            flat_nids = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["nids"]])
             flat_lons = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["lons"]])
             flat_lats = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["lats"]])
+            flat_ucnt = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["ucnts"]])
             if len(flat_lons) > 1:
                 all_d = geom.great_circle_distance(
                     flat_lons[:-1], flat_lats[:-1], flat_lons[1:], flat_lats[1:]
                 )
             else:
                 all_d = np.zeros(0)
-            offsets = np.concatenate([[0], np.cumsum(lens)])
-            for row_i, (way_id, oneway, repo, path, seq, nids, pucnt) in enumerate(zip(
-                pdf["way_id"], pdf["oneway"], pdf["repo"], pdf["path"], pdf["seq"],
-                pdf["nids"], pdf["ucnts"],
-            )):
-                node_ids = np.asarray(nids, dtype=np.int64)
-                ucnt = np.asarray(pucnt, dtype=np.int64)
-                n = len(node_ids)
-                if n == 0:
-                    continue
-                o = offsets[row_i]
-                lons = flat_lons[o : o + n]
-                lats = flat_lats[o : o + n]
-                dists = all_d[o : o + n - 1] if n > 1 else np.zeros(0)
-                start = 0
-                seg = 0
-                for i in range(1, n):
-                    if ucnt[i] > 1:
-                        g_lons = lons[start : i + 1]
-                        g_lats = lats[start : i + 1]
-                        # left-to-right accumulation == Go loop order
-                        cost = 0.0
-                        for v in dists[start:i]:
-                            cost += v
-                        cost = float(cost)
-                        out["way_id"].append(way_id)
-                        out["repo"].append(repo)
-                        out["path"].append(path)
-                        out["seq"].append(seq)
-                        out["seg_index"].append(seg)
-                        out["direction"].append(0)
-                        out["source_node"].append(node_ids[start])
-                        out["target_node"].append(node_ids[i])
-                        out["was_oneway"].append(bool(oneway))
-                        out["cost_km"].append(cost)
-                        out["geom_lons"].append(g_lons.tolist())
-                        out["geom_lats"].append(g_lats.tolist())
-                        if not oneway:
-                            out["way_id"].append(way_id)
-                            out["repo"].append(repo)
-                            out["path"].append(path)
-                            out["seq"].append(seq)
-                            out["seg_index"].append(seg)
-                            out["direction"].append(1)
-                            out["source_node"].append(node_ids[i])
-                            out["target_node"].append(node_ids[start])
-                            out["was_oneway"].append(False)
-                            out["cost_km"].append(cost)
-                            out["geom_lons"].append(g_lons[::-1].tolist())
-                            out["geom_lats"].append(g_lats[::-1].tolist())
-                        start = i
-                        seg += 1
-            yield pd.DataFrame(out)
+            offsets = np.concatenate([[0], np.cumsum(lens)])  # len = W+1
+            is_start = np.zeros(len(flat_nids), dtype=bool)
+            is_start[offsets[:-1][lens > 0]] = True
+            ends = np.flatnonzero((flat_ucnt > 1) & ~is_start)
+            if len(ends) == 0:
+                yield empty()
+                continue
+            # way index of each segment end; segment start = previous end
+            # within the same way, else the way's first node
+            way_of = np.searchsorted(offsets, ends, side="right") - 1
+            prev_end = np.concatenate([[-1], ends[:-1]])
+            same_way = np.concatenate([[False], way_of[1:] == way_of[:-1]])
+            starts = np.where(same_way, prev_end, offsets[way_of])
+            # seg_index: rank of the end within its way
+            idx = np.arange(len(ends))
+            seg_index = idx - np.maximum.accumulate(np.where(~same_way, idx, 0))
+
+            # per-segment left-to-right cost sums (distance slots
+            # starts[k] .. ends[k]-1 of all_d)
+            seg_lens = ends - starts
+            S = len(ends)
+            cost = np.zeros(S, dtype=np.float64)
+            long_rows = np.flatnonzero(seg_lens > 512)
+            short = seg_lens <= 512
+            if short.any():
+                sl = seg_lens[short]
+                L = int(sl.max())
+                mat = np.zeros((int(short.sum()), L), dtype=np.float64)
+                row = np.repeat(np.arange(len(sl)), sl)
+                cum = np.concatenate([[0], np.cumsum(sl)])
+                within = np.arange(int(sl.sum())) - np.repeat(cum[:-1], sl)
+                mat[row, within] = all_d[np.repeat(starts[short], sl) + within]
+                acc = np.zeros(len(sl), dtype=np.float64)
+                for j in range(L):
+                    acc = acc + mat[:, j]
+                cost[short] = acc
+            for k in long_rows:  # rare giant segments: exact sequential sum
+                c = 0.0
+                for v in all_d[starts[k] : ends[k]]:
+                    c += v
+                cost[k] = c
+
+            way_ids = pdf["way_id"].to_numpy(dtype=np.int64)[way_of]
+            oneway = pdf["oneway"].to_numpy(dtype=bool)[way_of]
+            repo = pdf["repo"].to_numpy()[way_of]
+            path = pdf["path"].to_numpy()[way_of]
+            seq = pdf["seq"].to_numpy(dtype=np.int64)[way_of]
+            src = flat_nids[starts]
+            tgt = flat_nids[ends]
+            g_lons = [flat_lons[s : e + 1] for s, e in zip(starts, ends)]
+            g_lats = [flat_lats[s : e + 1] for s, e in zip(starts, ends)]
+
+            # reverse rows for two-way ways (osm_loader.go:255-268); output
+            # order is irrelevant — IDs are assigned by sort keys downstream
+            rev = ~oneway
+            out = pd.DataFrame(
+                {
+                    "way_id": np.concatenate([way_ids, way_ids[rev]]),
+                    "repo": np.concatenate([repo, repo[rev]]),
+                    "path": np.concatenate([path, path[rev]]),
+                    "seq": np.concatenate([seq, seq[rev]]),
+                    "seg_index": np.concatenate([seg_index, seg_index[rev]]),
+                    "direction": np.concatenate(
+                        [np.zeros(S, np.int64), np.ones(int(rev.sum()), np.int64)]
+                    ),
+                    "source_node": np.concatenate([src, tgt[rev]]),
+                    "target_node": np.concatenate([tgt, src[rev]]),
+                    "was_oneway": np.concatenate([oneway, np.zeros(int(rev.sum()), bool)]),
+                    "cost_km": np.concatenate([cost, cost[rev]]),
+                    "geom_lons": g_lons + [a[::-1] for a, r in zip(g_lons, rev) if r],
+                    "geom_lats": g_lats + [a[::-1] for a, r in zip(g_lats, rev) if r],
+                }
+            )
+            yield out
 
     segments = grouped.mapInPandas(split, EDGE_SCHEMA)
     # _idb buckets the per-file group so numbering stays parallel even
@@ -340,72 +386,135 @@ EXPANDED_GEOM_FIELDS = [
     StructField("geom_wkt", StringType(), False),
 ]
 
+_PARTS_SCHEMA = StructType(
+    [
+        StructField("edge_id", LongType(), False),
+        StructField("geom_lons", ArrayType(DoubleType()), False),
+        StructField("geom_lats", ArrayType(DoubleType()), False),
+        StructField("bi", LongType(), False),
+        StructField("mid_lon", DoubleType(), False),
+        StructField("mid_lat", DoubleType(), False),
+        StructField("src_str", StringType(), False),
+        StructField("dst_str", StringType(), False),
+    ]
+)
+
+
+def edge_geom_parts(edges: DataFrame) -> DataFrame:
+    """Per-EDGE midpoint + pre-formatted WKT fragments (G6, the Python
+    half of G7).
+
+    The midpoint walk runs once per distinct edge, not once per expanded
+    pair — an edge with out-degree k previously paid k midpoint walks.
+    One Arrow pass, fully vectorized (find_middle_point_many); the only
+    per-edge Python is the join of pre-formatted point strings.  WKT
+    points are formatted HERE with Python's Go-parity %.6f: Java's
+    format_string rounds the SHORTEST repr HALF_UP, which can differ from
+    correct rounding of the true double (converter_wkt.go:9-15).
+
+    Output: the edge geometry passed through plus
+      bi       — index before the middle (find_middle_point)
+      mid_*    — the middle point
+      src_str  — "mid, geom[bi+1:]" formatted  (this edge as FROM side)
+      dst_str  — "geom[:bi+1], mid" formatted  (this edge as TO side)
+    """
+
+    def parts(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_rows = len(pdf)
+            if n_rows == 0:
+                yield pd.DataFrame({f.name: [] for f in _PARTS_SCHEMA.fields})
+                continue
+            lens = pdf["geom_lons"].map(len).to_numpy(dtype=np.int64)
+            offsets = np.concatenate([[0], np.cumsum(lens)])
+            if offsets[-1] > 0:
+                flat_lons = np.concatenate(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["geom_lons"]]
+                )
+                flat_lats = np.concatenate(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["geom_lats"]]
+                )
+            else:
+                flat_lons = np.zeros(0)
+                flat_lats = np.zeros(0)
+            bi, mlon, mlat = geom.find_middle_point_many(flat_lons, flat_lats, offsets)
+            # one vectorized %.6f pass over every point ('%.6f' % x is the
+            # same correctly-rounded conversion as f"{x:.6f}")
+            pts = np.char.add(
+                np.char.add(np.char.mod("%.6f", flat_lons), " "),
+                np.char.mod("%.6f", flat_lats),
+            )
+            mid_s = np.char.add(
+                np.char.add(np.char.mod("%.6f", mlon), " "), np.char.mod("%.6f", mlat)
+            )
+            src_str = [
+                ",".join([m] + list(pts[o + b + 1 : o + n]))
+                for m, o, b, n in zip(mid_s, offsets[:-1], bi, lens)
+            ]
+            dst_str = [
+                ",".join(list(pts[o : o + b + 1]) + [m])
+                for m, o, b in zip(mid_s, offsets[:-1], bi)
+            ]
+            yield pd.DataFrame(
+                {
+                    "edge_id": pdf["edge_id"],
+                    "geom_lons": pdf["geom_lons"],
+                    "geom_lats": pdf["geom_lats"],
+                    "bi": bi,
+                    "mid_lon": mlon,
+                    "mid_lat": mlat,
+                    "src_str": src_str,
+                    "dst_str": dst_str,
+                }
+            )
+
+    return edges.select("edge_id", "geom_lons", "geom_lats").mapInPandas(
+        parts, _PARTS_SCHEMA
+    )
+
 
 def splice_geometry(expanded: DataFrame, edges: DataFrame) -> DataFrame:
     """G6 + G7 — osm_loader.go:315-320,337: expanded-edge geometry =
     [from-middle] ++ from.Geom[i+1:] ++ to.Geom[:j+1] ++ [to-middle].
 
-    Re-joins the constituent-edge geometries (kept out of the expansion
-    shuffle on purpose), then one Arrow batch pass; per-row numpy.  Also
-    emits the WKT string here with Python's Go-parity %.6f (Java's
-    format_string rounds HALF_UP and can differ on exact half-boundary
-    doubles)."""
-    g = edges.select("edge_id", "geom_lons", "geom_lats")
-    expanded = (
-        expanded.join(
-            g.select(
-                F.col("edge_id").alias("src_edge_id"),
-                F.col("geom_lons").alias("src_lons"),
-                F.col("geom_lats").alias("src_lats"),
-            ),
-            "src_edge_id",
-        )
-        .join(
-            g.select(
-                F.col("edge_id").alias("dst_edge_id"),
-                F.col("geom_lons").alias("dst_lons"),
-                F.col("geom_lats").alias("dst_lats"),
-            ),
-            "dst_edge_id",
-        )
+    The midpoint work is hoisted to the per-EDGE side (edge_geom_parts);
+    the per-EXPANDED-row splice is pure JVM array/string concatenation —
+    no Python touches the big table.  The constituent-edge geometries are
+    re-joined here (kept out of the expansion shuffle on purpose)."""
+    p = edge_geom_parts(edges)
+    tail_len = F.greatest(F.lit(0), F.size("geom_lons") - F.col("bi") - 1)
+    src = p.select(
+        F.col("edge_id").alias("src_edge_id"),
+        F.concat(
+            F.array(F.col("mid_lon")), F.slice("geom_lons", F.col("bi") + 2, tail_len)
+        ).alias("_s_lons"),
+        F.concat(
+            F.array(F.col("mid_lat")), F.slice("geom_lats", F.col("bi") + 2, tail_len)
+        ).alias("_s_lats"),
+        F.col("src_str").alias("_s_str"),
     )
-    keep = [c for c in expanded.columns if c not in ("src_lons", "src_lats", "dst_lons", "dst_lats")]
-    schema = StructType(
-        [expanded.schema[c] for c in keep] + EXPANDED_GEOM_FIELDS
+    dst = p.select(
+        F.col("edge_id").alias("dst_edge_id"),
+        F.concat(
+            F.slice("geom_lons", 1, F.col("bi") + 1), F.array(F.col("mid_lon"))
+        ).alias("_d_lons"),
+        F.concat(
+            F.slice("geom_lats", 1, F.col("bi") + 1), F.array(F.col("mid_lat"))
+        ).alias("_d_lats"),
+        F.col("dst_str").alias("_d_str"),
     )
-
-    def splice(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            lons_out, lats_out, wkt_out = [], [], []
-            for slons, slats, dlons, dlats in zip(
-                pdf["src_lons"], pdf["src_lats"], pdf["dst_lons"], pdf["dst_lats"]
-            ):
-                fg = np.column_stack([np.asarray(slons), np.asarray(slats)])
-                tg = np.column_stack([np.asarray(dlons), np.asarray(dlats)])
-                bi, fmid = geom.find_middle_point(fg)
-                bj, tmid = geom.find_middle_point(tg)
-                pts = np.concatenate(
-                    [
-                        np.array([fmid]),
-                        fg[bi + 1 :],
-                        tg[: bj + 1],
-                        np.array([tmid]),
-                    ]
-                )
-                lons_out.append(pts[:, 0].tolist())
-                lats_out.append(pts[:, 1].tolist())
-                wkt_out.append(
-                    "LINESTRING(%s)" % ",".join(f"{p[0]:.6f} {p[1]:.6f}" for p in pts)
-                )
-            res = pdf[keep].copy()
-            res["geom_lons"] = lons_out
-            res["geom_lats"] = lats_out
-            res["geom_wkt"] = wkt_out
-            yield res
-
-    return expanded.mapInPandas(splice, schema)
+    keep = list(expanded.columns)
+    out = expanded.join(src, "src_edge_id").join(dst, "dst_edge_id")
+    return out.select(
+        *keep,
+        F.concat("_s_lons", "_d_lons").alias("geom_lons"),
+        F.concat("_s_lats", "_d_lats").alias("geom_lats"),
+        F.concat(
+            F.lit("LINESTRING("), F.col("_s_str"), F.lit(","), F.col("_d_str"), F.lit(")")
+        ).alias("geom_wkt"),
+    )
 
 
 def build_expanded(source: DataFrame, entity: str = P.DEFAULT_ENTITY,

@@ -42,7 +42,14 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def tpch_nodes(spark, sf_dir) -> DataFrame:
-    """(node_id, lon, lat) from part — exact integer arithmetic, injective."""
+    """(node_id, lon, lat) from part — exact integer arithmetic, injective.
+
+    Injectivity bound: (lon, lat) determines (p_partkey % 2520, p_partkey
+    % 1870) (2520 = lcm(360,7)·…, 1870 = lcm(170,11)), so coordinates are
+    injective only while the p_partkey span stays below lcm(2520, 1870) =
+    471,240 — i.e. part tables up to ~sf2.3.  The F6 U-turn oracle relies
+    on this (SQL compares node identity, Spark compares raw floats); all
+    driver testdata scales (sf ≤ 0.1) are far inside the bound."""
     p = T(spark, sf_dir, "part")
     lon = (F.col("p_partkey") % 360).cast("double") * 0.5 - 90.0 + (
         F.col("p_partkey") % 7
@@ -151,6 +158,20 @@ def tpch_final_expanded(spark, sf_dir) -> DataFrame:
     seen = pipeline.ways_seen(ways)
     out = pipeline.apply_no_restrictions(expanded, rules, seen)
     return pipeline.apply_only_restrictions(out, rules, seen)
+
+
+def tpch_spliced(spark, sf_dir) -> DataFrame:
+    """Full pipeline INCLUDING the geometry splice (G6+G7) — the complete
+    reference output row (cmd/osm2ch/main.go:139-150) over the projected
+    world."""
+    ways = tpch_ways(spark, sf_dir)
+    edges = tpch_edges(spark, sf_dir).persist()
+    expanded = pipeline.expand_edges(edges).persist()
+    rules = tpch_rules(expanded)
+    seen = pipeline.ways_seen(ways)
+    out = pipeline.apply_no_restrictions(expanded, rules, seen)
+    out = pipeline.apply_only_restrictions(out, rules, seen)
+    return pipeline.splice_geometry(out, edges)
 
 
 def tpch_edge_graph(spark, sf_dir) -> DataFrame:
