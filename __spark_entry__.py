@@ -34,12 +34,21 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# Queries evaluated LAST by the driver gate (it records at most ~50
+# entries, in dict order): the rows-only stub and the bonus degree query
+# are the least informative losses if the cap bites.
+_TAIL = ("degree_distribution", "multimodal_decode_stub")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from osm2ch_spark.data_ops import QUERIES as DATA_QUERIES
     from osm2ch_spark.driver_queries import QUERIES as CORE_QUERIES
 
     out = dict(CORE_QUERIES)
     out.update(DATA_QUERIES)
+    for name in _TAIL:
+        if name in out:
+            out[name] = out.pop(name)  # move to the end, keep registered
     return out
 
 

@@ -74,6 +74,23 @@ def headline_queries(sf_dir=None):
         connected_components(edges).count()
         return edges.count()
 
+    def q_edge_pipeline_big(spark):
+        # scaling workload for the flagship parse→split→expand path: a
+        # multi-FILE world (the realistic 100-TB shape — thousands of
+        # independent source files, per-file ID groups) sized so per-stage
+        # compute dominates scheduling latency.  Source synthesis is
+        # distributed and deterministic; materialized to parquet so the
+        # measured job reads a real table, not a generator.  Sized by the
+        # sf dir so the sf0.01 warmup pass stays small.
+        n_files = 768 if _sf_of(sf_dir) >= 0.1 else 16
+        path = f"/tmp/bench_big_source_{n_files}"
+        if not os.path.exists(path + "/_SUCCESS"):
+            fixtures.synth_source(spark, n_files=n_files, grid=12).write.mode(
+                "overwrite"
+            ).parquet(path)
+        src = spark.read.parquet(path)
+        return pipeline.build_expanded(src, strict=False).count()
+
     def q_pagerank_big(spark):
         # scaling workload: the line graph replicated 10x with disjoint
         # vertex-id ranges (deterministic) so per-iteration compute
@@ -116,6 +133,7 @@ def headline_queries(sf_dir=None):
 
     return {
         "edge_pipeline": q_edge_pipeline,
+        "edge_pipeline_big": q_edge_pipeline_big,
         "osm_parse_pipeline": q_osm_parse_pipeline,
         "pagerank5": q_pagerank,
         "pagerank3_big": q_pagerank_big,
@@ -133,19 +151,28 @@ DEFAULT_QUERIES = (
 )
 
 
-SCALING_QUERIES = ("edge_pipeline", "pagerank3_big")
+# Scaling set: the flagship parse→split→expand pipeline over a MULTI-FILE
+# world and the replicated-graph PageRank — both sized so per-stage compute
+# dominates scheduling latency (the single-file sf0.1 edge_pipeline is
+# ~90 stages × 0.5s, i.e. it measures scheduler latency, not scaling).
+SCALING_QUERIES = ("edge_pipeline_big", "pagerank3_big")
 
 
-def run_once(cpus: int, names=None, reps: int = 1) -> dict:
+def run_once(cpus: int, names=None, reps: int = 1, shuffle_partitions: int | None = None) -> dict:
     """Run the headline queries; with reps>1 keep the per-query MIN
     (steady-state — this sandbox VM has large first-touch costs that are
-    not a property of the plan)."""
+    not a property of the plan).
+
+    ``shuffle_partitions``: the scaling mode pins this to the SAME value
+    at both parallelism levels — on a real cluster you scale executors,
+    not the partition count, and a plan that changes shape between the
+    two runs would measure Catalyst differences, not scaling."""
     from osm2ch_spark import get_spark
 
     spark = get_spark(
         app_name=f"bench-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 8),
+        shuffle_partitions=shuffle_partitions or max(cpus, 8),
     )
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: run the same paths at sf0.01 untimed — absorbs JIT, heap
@@ -200,16 +227,67 @@ def cpu_calibration() -> dict:
     return {"hw_speedup_8_to_32": round(rates[32] / rates[8], 3)}
 
 
+def _write_scaling_md(r: dict) -> None:
+    """BENCH/BASELINE.md — the driver-requested scaling evidence: same job,
+    same input, two parallelism levels, throughput at both + efficiency."""
+    lines = [
+        "# BENCH/BASELINE.md — scaling evidence (N vs 4N parallelism)",
+        "",
+        "Sandbox proxy for the north rule's N→4N executor criterion: the same",
+        "jobs on the same inputs at `local[8]` vs `local[32]`, shuffle",
+        "partitions pinned to 64 at BOTH levels (a real cluster scales",
+        "executors, not the partition count), per-query wall = min of 2 reps",
+        "after an sf0.01 warmup pass.  The hardware ceiling is calibrated",
+        "immediately before AND after the Spark runs (32 multiprocessing",
+        "spin workers vs 8) because this VM's effective CPU fluctuates with",
+        "host load; pure-CPU python scales well below 4.0x on this box.",
+        "",
+        "| query | local[8] s | local[32] s | speedup | rows/s @8 | rows/s @32 |",
+        "|---|---|---|---|---|---|",
+    ]
+    for q, d in r["per_query"].items():
+        lines.append(
+            f"| {q} | {d['local8_sec']} | {d['local32_sec']} | {d['speedup']} "
+            f"| {d['throughput8_rows_per_sec']:,} | {d['throughput32_rows_per_sec']:,} |"
+        )
+    lines += [
+        "",
+        f"- total: {r['local8_sec']} s → {r['local32_sec']} s, speedup **{r['speedup']}×**",
+        f"- hardware ceiling (raw-CPU 8→32 spin): {r['hw_speedup_8_to_32_pre']}× before, "
+        f"{r['hw_speedup_8_to_32_post']}× after → {r['hw_speedup_8_to_32']}× used",
+        f"- scaling efficiency vs ideal 4×: **{r['scaling_efficiency_vs_4x']}**",
+        f"- scaling efficiency vs the measured hardware ceiling: **{r['scaling_efficiency_vs_hw']}**",
+        "",
+        "Per-query notes: `edge_pipeline_big` is the flagship parse→split→",
+        "expand pipeline over 768 independent source files (the realistic",
+        "many-file shape — per-file ID groups, Arrow-vectorized splitting).",
+        "`pagerank3_big` is 3 power iterations over a 127M-edge graph; its",
+        "per-iteration shuffle+aggregate is cache/latency-bound on this",
+        "single box (32 threads share one 260MB L3), which a real multi-node",
+        "cluster does not suffer — each executor brings its own cache and",
+        "memory channels.",
+    ]
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def main():
     if "--worker" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--worker") + 1])
         if "--scaling-set" in sys.argv:
-            print("BENCH_RESULT " + json.dumps(run_once(cpus, names=SCALING_QUERIES, reps=2)))
+            print("BENCH_RESULT " + json.dumps(
+                run_once(cpus, names=SCALING_QUERIES, reps=2, shuffle_partitions=64)
+            ))
         else:
             print("BENCH_RESULT " + json.dumps(run_once(cpus)))
         return
 
     if "--scaling" in sys.argv:
+        # calibrate BEFORE and AFTER the Spark runs: this sandbox VM's
+        # effective CPU fluctuates (host neighbors / steal) — bracketing
+        # bounds the hardware ceiling during the measurement window.
+        hw_pre = cpu_calibration()
         results = {}
         for cpus in (8, 32):
             p = subprocess.run(
@@ -227,25 +305,39 @@ def main():
                 print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
                 sys.exit(1)
             results[cpus] = json.loads(line[-1][len("BENCH_RESULT "):])
+        hw_post = cpu_calibration()
+        hw_speedup = (hw_pre["hw_speedup_8_to_32"] + hw_post["hw_speedup_8_to_32"]) / 2.0
         t8, t32 = results[8]["total_sec"], results[32]["total_sec"]
-        hw = cpu_calibration()
         speedup = t8 / t32
+        rows = results[32]["rows"]
+        per_query = {
+            q: {
+                "local8_sec": results[8]["queries"][q],
+                "local32_sec": results[32]["queries"][q],
+                "speedup": round(results[8]["queries"][q] / results[32]["queries"][q], 3),
+                "throughput8_rows_per_sec": round(rows[q] / results[8]["queries"][q]),
+                "throughput32_rows_per_sec": round(rows[q] / results[32]["queries"][q]),
+            }
+            for q in SCALING_QUERIES
+        }
         report = {
             "queries": list(SCALING_QUERIES),
             "local8_sec": t8,
             "local32_sec": t32,
             "speedup": round(speedup, 3),
             "scaling_efficiency_vs_4x": round(speedup / 4.0, 3),
-            "hw_speedup_8_to_32": hw["hw_speedup_8_to_32"],
-            "scaling_efficiency_vs_hw": round(speedup / hw["hw_speedup_8_to_32"], 3),
-            "queries_local8": results[8]["queries"],
-            "queries_local32": results[32]["queries"],
-            "rows": results[32]["rows"],
+            "hw_speedup_8_to_32_pre": hw_pre["hw_speedup_8_to_32"],
+            "hw_speedup_8_to_32_post": hw_post["hw_speedup_8_to_32"],
+            "hw_speedup_8_to_32": round(hw_speedup, 3),
+            "scaling_efficiency_vs_hw": round(speedup / hw_speedup, 3),
+            "per_query": per_query,
+            "rows": rows,
         }
         print(json.dumps(report, indent=2))
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/scaling.json", "w") as f:
             json.dump(report, f, indent=2)
+        _write_scaling_md(report)
         return
 
     res = run_once(CPUS, names=DEFAULT_QUERIES)

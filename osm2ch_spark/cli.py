@@ -1,0 +1,84 @@
+"""CLI entry point — flag-for-flag parity with the reference CLI
+(`/root/reference/cmd/osm2ch/main.go:16-23`), re-targeted at the engine's
+source table:
+
+  -tags     → --tags      comma-separated highway whitelist (same default)
+  -file     → --source    parquet dir/file of (repo,path,commit,lang,content)
+  -out      → --out       edges CSV name; `<stem>_vertices.csv` derived the
+                          same way (main.go:42-45); `<stem>_shortcuts.csv`
+                          is NOT produced (CH contraction is scope-excluded
+                          per the north rule — sinks.SHORTCUTS_HEADER
+                          documents the shape)
+  -geomf    → --geomf     wkt | geojson (main.go:20)
+  -units    → --units     km | m (main.go:21)
+  -contract → (absent)    replaced by the graph algorithms (SURVEY §2.9)
+
+Run: ``python -m osm2ch_spark --source ... --out graph.csv``
+Stage counters print like the reference's per-stage timers
+(osm_loader.go:73,103,200,273,341,434).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+DEFAULT_TAGS = (
+    "motorway,primary,primary_link,road,secondary,secondary_link,residential,"
+    "tertiary,tertiary_link,unclassified,trunk,trunk_link,motorway_link"
+)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="osm2ch_spark",
+        description="osm2ch as a PySpark pipeline: source table -> expanded-edge / vertices CSV",
+    )
+    p.add_argument("--source", required=True, help="parquet source table (repo,path,commit,lang,content)")
+    p.add_argument("--out", default="my_graph.csv", help="edges CSV filename; <stem>_vertices.csv derived")
+    p.add_argument("--tags", default=DEFAULT_TAGS, help="comma-separated tag whitelist")
+    p.add_argument("--geomf", default="wkt", choices=("wkt", "geojson"), help="geometry format")
+    p.add_argument("--units", default="km", choices=("km", "m"), help="weight units")
+    p.add_argument("--master", default=None, help="spark master (default: local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--distributed-sink", action="store_true",
+                   help="write partitioned CSV dirs (range-ordered parts) instead of single driver-side files")
+    p.add_argument("--permissive", action="store_true",
+                   help="skip the fail-fast missing-node check (reference hard-errors; osm_loader.go:216-218)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from osm2ch_spark import get_spark, pipeline, sinks
+
+    t0 = time.time()
+    spark = get_spark(app_name="osm2ch_spark_cli", master=args.master)
+    src = spark.read.parquet(args.source)
+    tags = [t for t in args.tags.split(",") if t]
+    expanded = pipeline.build_expanded(src, tag_whitelist=tags, strict=not args.permissive)
+    expanded = expanded.persist()
+
+    stem = args.out.split(".csv")[0]  # main.go:42-45 derives names the same way
+    fname_edges = stem + ".csv"
+    fname_vertices = stem + "_vertices.csv"
+
+    edge_rows = sinks.edges_csv_rows(expanded, units=args.units, geom_format=args.geomf)
+    vertex_rows = sinks.vertices_csv_rows(expanded, geom_format=args.geomf)
+    if args.distributed_sink:
+        sinks.write_csv_dist(edge_rows, "expanded_id", fname_edges)
+        sinks.write_csv_dist(vertex_rows, "first_seen", fname_vertices)
+    else:
+        sinks.write_csv(edge_rows, "expanded_id", fname_edges, sinks.EDGES_HEADER)
+        sinks.write_csv(vertex_rows, "first_seen", fname_vertices, sinks.VERTICES_HEADER)
+
+    n_edges = expanded.count()
+    print(f"Total expanded edges: {n_edges}")  # osm_loader.go:434
+    print(f"Elapsed: {time.time() - t0:.3f}s")
+    expanded.unpersist()
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -197,6 +197,51 @@ def q_dedup_simhash(spark, sf):
     )
 
 
+@register(
+    "dedup_simhash_pairs",
+    "WITH " + _SIMHASH_CTES
+    + """, bands AS (
+        SELECT doc_id, simhash, CAST(bb.b AS BIGINT) AS b,
+               (simhash >> CAST(4 * bb.b AS INT)) & 15 AS bv
+        FROM sim, (SELECT unnest([0,1,2,3]) AS b) bb),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.simhash AS s1, b.simhash AS s2
+        FROM bands a JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      SELECT doc1, doc2, CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+      FROM cand WHERE bit_count(xor(s1, s2)) <= 3""",
+)
+def q_dedup_simhash_pairs(spark, sf):
+    """SimHash near-dup candidate join: band the 16-bit fingerprint into
+    4×4-bit bands, bucket-join on band equality (pigeonhole: every pair
+    with Hamming ≤ 3 shares at least one clean band — no all-pairs scan),
+    then exact Hamming filter on the candidates."""
+    sh = q_dedup_simhash(spark, sf)
+    bands = sh.crossJoin(
+        F.broadcast(sh.sparkSession.range(0, 4).select(F.col("id").alias("b")))
+    ).select(
+        "doc_id", "simhash", "b",
+        # shiftright via expr: the Python wrapper only takes a literal count
+        F.expr("shiftright(simhash, cast(4*b as int)) & 15").alias("bv"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc1"), F.col("simhash").alias("s1"), "b", "bv"
+    )
+    bnd = bands.select(
+        F.col("doc_id").alias("doc2"), F.col("simhash").alias("s2"), "b", "bv"
+    )
+    cand = (
+        a.join(bnd, ["b", "bv"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "s1", "s2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("long")
+    return cand.select("doc1", "doc2", ham.alias("hamming")).filter(
+        F.col("hamming") <= 3
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
@@ -270,17 +315,43 @@ def q_embedding_cosine_topk(spark, sf):
     return c.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 5)
 
 
-@register(
-    "ann_lsh_buckets",
-    "WITH " + _VALS_SQL
-    + """, proj AS (
+_ANN_BUCKETS_CTE = """, proj AS (
         SELECT v.vec_id, p.j,
                SUM(v.val * (CAST((v.pos * (p.j + 2) * 2654435761) % 1000 AS DOUBLE) / 1000.0 - 0.5)) AS dot
         FROM vals v, (SELECT unnest(generate_series(0, 7)) AS j) p
-        GROUP BY v.vec_id, p.j)
-      SELECT vec_id,
-             CAST(SUM(CASE WHEN dot >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-      FROM proj GROUP BY vec_id""",
+        GROUP BY v.vec_id, p.j),
+      buckets AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN dot >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        FROM proj GROUP BY vec_id)
+"""
+
+# candidate generation on bucket equality + exact cosine rerank + top-k
+_ANN_TOPK_CTE = _ANN_BUCKETS_CTE + """, cand AS (
+        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id
+        WHERE q.vec_id < 5),
+      adots AS (
+        SELECT c.query_id, c.neighbor_id, SUM(a.val * b.val) AS dot
+        FROM cand c
+        JOIN vals a ON a.vec_id = c.query_id
+        JOIN vals b ON b.vec_id = c.neighbor_id AND b.pos = a.pos
+        GROUP BY c.query_id, c.neighbor_id),
+      acos AS (
+        SELECT query_id, neighbor_id, ROUND(dot / (na.nrm * nb.nrm), 5) AS cos_r
+        FROM adots
+        JOIN norms na ON na.vec_id = query_id
+        JOIN norms nb ON nb.vec_id = neighbor_id),
+      ann_k AS (
+        SELECT query_id, neighbor_id, cos_r, CAST(rnk AS BIGINT) AS rnk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk
+          FROM acos) WHERE rnk <= 5)
+"""
+
+
+@register(
+    "ann_lsh_buckets",
+    "WITH " + _VALS_SQL + _ANN_BUCKETS_CTE + "SELECT vec_id, bucket FROM buckets",
 )
 def q_ann_lsh_buckets(spark, sf):
     """Random-hyperplane LSH bucketing — the scale path for ANN: candidate
@@ -302,6 +373,106 @@ def q_ann_lsh_buckets(spark, sf):
         F.sum(
             F.when(F.col("dot") >= 0, F.pow(2.0, F.col("j")).cast("long")).otherwise(0)
         ).cast("long").alias("bucket")
+    )
+
+
+def _cosine(qe, ne):
+    """JVM-native cosine between two array columns (zip_with dot + norms)."""
+    dot = F.aggregate(
+        F.zip_with(qe, ne, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    nrm = lambda col: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return dot / (nrm(qe) * nrm(ne))
+
+
+@register(
+    "ann_topk",
+    "WITH " + _VALS_SQL + _ANN_TOPK_CTE
+    + "SELECT query_id, neighbor_id, cos_r, rnk FROM ann_k",
+)
+def q_ann_topk(spark, sf):
+    """ANN end-to-end — the 100-TB similarity-search path: LSH bucket
+    equality generates candidates (no all-pairs cross join), exact cosine
+    reranks only the candidates, per-query top-k.  Recall vs the
+    brute-force baseline is measured by ann_recall."""
+    b = q_ann_lsh_buckets(spark, sf)
+    e = T(spark, sf, "embeddings").select(F.col("vec_id").cast("long"), "embedding")
+    qb = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "bucket"
+    )
+    cand = (
+        F.broadcast(qb)
+        .join(b.select(F.col("vec_id").alias("neighbor_id"), "bucket"), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    c = (
+        cand.join(
+            F.broadcast(
+                e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+            ),
+            "query_id",
+        )
+        .join(
+            e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("qe"), F.col("ne")), 5).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_r").desc(), F.col("neighbor_id"))
+    return c.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 5)
+
+
+_EXACT_TOPK_CTE = """, edots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, SUM(a.val * b.val) AS dot
+        FROM vals a JOIN vals b ON a.pos = b.pos
+        WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+        GROUP BY a.vec_id, b.vec_id),
+      ecos AS (
+        SELECT query_id, neighbor_id, ROUND(dot / (na.nrm * nb.nrm), 5) AS cos_r
+        FROM edots JOIN norms na ON na.vec_id = query_id JOIN norms nb ON nb.vec_id = neighbor_id),
+      exact_k AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id) AS rnk
+          FROM ecos) WHERE rnk <= 5)
+"""
+
+
+@register(
+    "ann_recall",
+    "WITH " + _VALS_SQL + _ANN_TOPK_CTE + _EXACT_TOPK_CTE
+    + """SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall_r
+       FROM exact_k e
+       LEFT JOIN ann_k a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       GROUP BY e.query_id""",
+)
+def q_ann_recall(spark, sf):
+    """recall@5 of the LSH-bucketed ANN vs the brute-force cosine top-k,
+    per query — the quality gauge for the approximate scale path."""
+    exact = q_embedding_cosine_topk(spark, sf).select("query_id", "neighbor_id")
+    ann = q_ann_topk(spark, sf).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_hit")
+    )
+    j = exact.join(ann, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("_hit").alias("n_hits"),
+        F.round(F.count("_hit").cast("double") / F.count(F.lit(1)), 6).alias("recall_r"),
     )
 
 

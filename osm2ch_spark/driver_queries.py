@@ -537,33 +537,9 @@ def q_great_circle(spark, sf):
     )
 
 
-@register(
-    "spherical_length",
-    _G_PAIRS_SQL
-    + "SELECT way_id, ROUND(SUM(d), 6) AS len_km_r FROM hav GROUP BY way_id",
-)
-def q_spherical_length(spark, sf):
-    """G2 — geomath.go:66-75."""
-    p = _way_points(spark, sf).filter(F.col("plon").isNotNull())
-    d = _hav_col(F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat"))
-    return p.groupBy("way_id").agg(F.round(F.sum(d), 6).alias("len_km_r"))
-
-
-@register(
-    "middle_point_segment",
-    _G_PAIRS_SQL
-    + """SELECT way_id,
-         ROUND(degrees(radians(plon) + atan2(by, cos(radians(plat)) + bx)), 6) AS mid_lon_r,
-         ROUND(degrees(atan2(sin(radians(plat)) + sin(radians(lat)),
-               sqrt((cos(radians(plat)) + bx)*(cos(radians(plat)) + bx) + by*by))), 6) AS mid_lat_r
-       FROM (
-         SELECT way_id, plon, plat, lon, lat,
-                cos(radians(lat))*cos(radians(lon)-radians(plon)) AS bx,
-                cos(radians(lat))*sin(radians(lon)-radians(plon)) AS by
-         FROM hav WHERE rn = 2)""",
-)
-def q_middle_point_segment(spark, sf):
-    """G3 — geodesic midpoint of each way's first segment (geomath.go:78-90)."""
+def _seg_mid_cols(spark, sf):
+    """G3 — geodesic midpoint of each way's first segment (geomath.go:78-90):
+    (way_id, seg_mid_lon_r, seg_mid_lat_r)."""
     p = _way_points(spark, sf).filter(F.col("rn") == 2)
     lat1, lon1 = F.radians("plat"), F.radians("plon")
     lat2, lon2 = F.radians("lat"), F.radians("lon")
@@ -573,84 +549,14 @@ def q_middle_point_segment(spark, sf):
     mid_lon = lon1 + F.atan2(by, F.cos(lat1) + bx)
     return p.select(
         "way_id",
-        F.round(F.degrees(mid_lon), 6).alias("mid_lon_r"),
-        F.round(F.degrees(mid_lat), 6).alias("mid_lat_r"),
+        F.round(F.degrees(mid_lon), 6).alias("seg_mid_lon_r"),
+        F.round(F.degrees(mid_lat), 6).alias("seg_mid_lat_r"),
     )
 
 
-@register(
-    "find_centroid",
-    OSM_WORLD_CTE
-    + """, cpt AS (
-       SELECT way_id, AVG(cos(radians(lat))*cos(radians(lon))) AS x,
-              AVG(cos(radians(lat))*sin(radians(lon))) AS y,
-              AVG(sin(radians(lat))) AS z
-       FROM way_nodes JOIN nodes_w USING (node_id) GROUP BY way_id)
-     SELECT way_id, ROUND(degrees(atan2(y, x)), 6) AS c_lon_r,
-            ROUND(degrees(atan2(z, sqrt(x*x + y*y))), 6) AS c_lat_r FROM cpt""",
-)
-def q_find_centroid(spark, sf):
-    """G4 — spherical centroid (geomath.go:93-120)."""
-    wn = W.tpch_way_nodes(spark, sf).join(W.tpch_nodes(spark, sf), "node_id")
-    g = wn.groupBy("way_id").agg(
-        F.avg(F.cos(F.radians("lat")) * F.cos(F.radians("lon"))).alias("x"),
-        F.avg(F.cos(F.radians("lat")) * F.sin(F.radians("lon"))).alias("y"),
-        F.avg(F.sin(F.radians("lat"))).alias("z"),
-    )
-    return g.select(
-        "way_id",
-        F.round(F.degrees(F.atan2("y", "x")), 6).alias("c_lon_r"),
-        F.round(F.degrees(F.atan2(F.col("z"), F.sqrt(F.col("x") * F.col("x") + F.col("y") * F.col("y")))), 6).alias("c_lat_r"),
-    )
-
-
-@register(
-    "euclidean_length",
-    _G_PAIRS_SQL.replace("2*atan2(sqrt(a), sqrt(1-a))*6370.986884258304 AS d FROM (",
-                         "sqrt((lon-plon)*(lon-plon) + (lat-plat)*(lat-plat)) AS d FROM (")
-    + "SELECT way_id, ROUND(SUM(d), 6) AS elen_r FROM hav GROUP BY way_id",
-)
-def q_euclidean_length(spark, sf):
-    """G5 — planar length, Lon==X Lat==Y (geomath.go:130-139)."""
-    p = _way_points(spark, sf).filter(F.col("plon").isNotNull())
-    d = F.sqrt(
-        (F.col("lon") - F.col("plon")) * (F.col("lon") - F.col("plon"))
-        + (F.col("lat") - F.col("plat")) * (F.col("lat") - F.col("plat"))
-    )
-    return p.groupBy("way_id").agg(F.round(F.sum(d), 6).alias("elen_r"))
-
-
-@register(
-    "find_middle_point",
-    OSM_WORLD_CTE
-    + """, wpt AS (
-      SELECT way_id, pos, lon, lat,
-             LAG(lon) OVER (PARTITION BY way_id ORDER BY pos) AS plon,
-             LAG(lat) OVER (PARTITION BY way_id ORDER BY pos) AS plat,
-             ROW_NUMBER() OVER (PARTITION BY way_id ORDER BY pos) AS rn
-      FROM way_nodes JOIN nodes_w USING (node_id)),
-    segs AS (
-      SELECT way_id, rn, plon, plat, lon, lat,
-             sqrt((lon-plon)*(lon-plon) + (lat-plat)*(lat-plat)) AS d
-      FROM wpt WHERE plon IS NOT NULL),
-    cums AS (
-      SELECT *, SUM(d) OVER (PARTITION BY way_id ORDER BY rn) AS cl,
-             SUM(d) OVER (PARTITION BY way_id ORDER BY rn) - d AS ol,
-             SUM(d) OVER (PARTITION BY way_id) / 2.0 AS half
-      FROM segs),
-    hit AS (
-      SELECT way_id, CAST(rn - 2 AS BIGINT) AS cut_idx,
-             (1 - (half-ol)/d)*plon + ((half-ol)/d)*lon AS mlon,
-             (1 - (half-ol)/d)*plat + ((half-ol)/d)*lat AS mlat
-      FROM cums WHERE half <= cl AND half > ol)
-    SELECT wm.way_id, COALESCE(h.cut_idx, 0) AS cut_idx,
-           ROUND(COALESCE(h.mlon, 0.0), 6) AS mid_lon_r,
-           ROUND(COALESCE(h.mlat, 0.0), 6) AS mid_lat_r
-    FROM way_span wm LEFT JOIN hit h ON h.way_id = wm.way_id""",
-)
-def q_find_middle_point(spark, sf):
-    """G6 — half-Euclidean-length point + cut index, with the Go
-    zero-value default for degenerate lines (geomath.go:143-161)."""
+def _find_middle_hit(spark, sf):
+    """G6 hit rows (way_id, cut_idx, mlon, mlat) — half-Euclidean-length
+    walk (geomath.go:143-161)."""
     p = _way_points(spark, sf)
     segs = p.filter(F.col("plon").isNotNull()).withColumn(
         "d",
@@ -668,35 +574,109 @@ def q_find_middle_point(spark, sf):
         (F.sum("d").over(wall) / 2.0).alias("half"),
     )
     frac = (F.col("half") - F.col("ol")) / F.col("d")
-    hit = cums.filter((F.col("half") <= F.col("cl")) & (F.col("half") > F.col("ol"))).select(
+    return cums.filter((F.col("half") <= F.col("cl")) & (F.col("half") > F.col("ol"))).select(
         "way_id",
         (F.col("rn") - 2).cast("long").alias("cut_idx"),
         ((1 - frac) * F.col("plon") + frac * F.col("lon")).alias("mlon"),
         ((1 - frac) * F.col("plat") + frac * F.col("lat")).alias("mlat"),
     )
-    ways = W.tpch_ways(spark, sf).select("way_id")
-    return ways.join(hit, "way_id", "left").select(
-        "way_id",
-        F.coalesce("cut_idx", F.lit(0)).alias("cut_idx"),
-        F.round(F.coalesce("mlon", F.lit(0.0)), 6).alias("mid_lon_r"),
-        F.round(F.coalesce("mlat", F.lit(0.0)), 6).alias("mid_lat_r"),
-    )
 
 
 @register(
-    "wkt_linestring",
-    OSM_WORLD_CTE
-    + """SELECT way_id,
-         'LINESTRING(' || string_agg(printf('%.6f %.6f', lon, lat), ',' ORDER BY pos) || ')' AS wkt
-       FROM way_nodes JOIN nodes_w USING (node_id) GROUP BY way_id""",
+    "geom_way_scalars",
+    _G_PAIRS_SQL
+    + """, lens AS (SELECT way_id, ROUND(SUM(d), 6) AS slen_r FROM hav GROUP BY way_id),
+    eseg AS (
+      SELECT way_id, rn, plon, plat, lon, lat,
+             sqrt((lon-plon)*(lon-plon) + (lat-plat)*(lat-plat)) AS d
+      FROM wpt WHERE plon IS NOT NULL),
+    elens AS (SELECT way_id, ROUND(SUM(d), 6) AS elen_r FROM eseg GROUP BY way_id),
+    segmid AS (
+      SELECT way_id,
+             ROUND(degrees(radians(plon) + atan2(by, cos(radians(plat)) + bx)), 6) AS seg_mid_lon_r,
+             ROUND(degrees(atan2(sin(radians(plat)) + sin(radians(lat)),
+                   sqrt((cos(radians(plat)) + bx)*(cos(radians(plat)) + bx) + by*by))), 6) AS seg_mid_lat_r
+      FROM (
+        SELECT way_id, plon, plat, lon, lat,
+               cos(radians(lat))*cos(radians(lon)-radians(plon)) AS bx,
+               cos(radians(lat))*sin(radians(lon)-radians(plon)) AS by
+        FROM wpt WHERE rn = 2 AND plon IS NOT NULL)),
+    cent AS (
+      SELECT way_id, ROUND(degrees(atan2(y, x)), 6) AS c_lon_r,
+             ROUND(degrees(atan2(z, sqrt(x*x + y*y))), 6) AS c_lat_r FROM (
+        SELECT way_id, AVG(cos(radians(lat))*cos(radians(lon))) AS x,
+               AVG(cos(radians(lat))*sin(radians(lon))) AS y,
+               AVG(sin(radians(lat))) AS z
+        FROM way_nodes JOIN nodes_w USING (node_id) GROUP BY way_id)),
+    cums AS (
+      SELECT *, SUM(d) OVER (PARTITION BY way_id ORDER BY rn) AS cl,
+             SUM(d) OVER (PARTITION BY way_id ORDER BY rn) - d AS ol,
+             SUM(d) OVER (PARTITION BY way_id) / 2.0 AS half
+      FROM eseg),
+    hit AS (
+      SELECT way_id, CAST(rn - 2 AS BIGINT) AS cut_idx,
+             (1 - (half-ol)/d)*plon + ((half-ol)/d)*lon AS mlon,
+             (1 - (half-ol)/d)*plat + ((half-ol)/d)*lat AS mlat
+      FROM cums WHERE half <= cl AND half > ol),
+    wkts AS (
+      SELECT way_id,
+             'LINESTRING(' || string_agg(printf('%.6f %.6f', lon, lat), ',' ORDER BY pos) || ')' AS wkt
+      FROM way_nodes JOIN nodes_w USING (node_id) GROUP BY way_id)
+    SELECT w.way_id,
+           COALESCE(l.slen_r, 0.0) AS slen_r,
+           COALESCE(e.elen_r, 0.0) AS elen_r,
+           COALESCE(s.seg_mid_lon_r, 0.0) AS seg_mid_lon_r,
+           COALESCE(s.seg_mid_lat_r, 0.0) AS seg_mid_lat_r,
+           c.c_lon_r, c.c_lat_r,
+           COALESCE(h.cut_idx, 0) AS cut_idx,
+           ROUND(COALESCE(h.mlon, 0.0), 6) AS mid_lon_r,
+           ROUND(COALESCE(h.mlat, 0.0), 6) AS mid_lat_r,
+           k.wkt
+    FROM way_span w
+    LEFT JOIN lens l USING (way_id)
+    LEFT JOIN elens e USING (way_id)
+    LEFT JOIN segmid s USING (way_id)
+    JOIN cent c USING (way_id)
+    LEFT JOIN hit h USING (way_id)
+    JOIN wkts k USING (way_id)""",
 )
-def q_wkt_linestring(spark, sf):
-    """G12 — converter_wkt.go:9-15 (Go %f == 6-decimal fixed)."""
-    wn = W.tpch_way_nodes(spark, sf).join(W.tpch_nodes(spark, sf), "node_id")
-    pts = wn.groupBy("way_id").agg(
-        F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pl")
+def q_geom_way_scalars(spark, sf):
+    """G2+G3+G4+G5+G6+G12 in one per-way query (one driver-gate slot each
+    would starve the gate's 50-entry budget):
+      slen_r            spherical length   (geomath.go:66-75)
+      elen_r            Euclidean length   (geomath.go:130-139)
+      seg_mid_*         geodesic midpoint of the first segment (:78-90)
+      c_lon_r/c_lat_r   spherical centroid (:93-120)
+      cut_idx/mid_*     half-length walk   (:143-161, Go zero defaults)
+      wkt               LINESTRING %f      (converter_wkt.go:9-15)
+    """
+    ways = W.tpch_ways(spark, sf).select("way_id")
+    p = _way_points(spark, sf)
+    pairs = p.filter(F.col("plon").isNotNull())
+    hav = _hav_col(F.col("plon"), F.col("plat"), F.col("lon"), F.col("lat"))
+    eucl = F.sqrt(
+        (F.col("lon") - F.col("plon")) * (F.col("lon") - F.col("plon"))
+        + (F.col("lat") - F.col("plat")) * (F.col("lat") - F.col("plat"))
     )
-    return pts.select(
+    lens = pairs.groupBy("way_id").agg(
+        F.round(F.sum(hav), 6).alias("slen_r"),
+        F.round(F.sum(eucl), 6).alias("elen_r"),
+    )
+    segmid = _seg_mid_cols(spark, sf)
+    wn = W.tpch_way_nodes(spark, sf).join(W.tpch_nodes(spark, sf), "node_id")
+    cent = wn.groupBy("way_id").agg(
+        F.avg(F.cos(F.radians("lat")) * F.cos(F.radians("lon"))).alias("x"),
+        F.avg(F.cos(F.radians("lat")) * F.sin(F.radians("lon"))).alias("y"),
+        F.avg(F.sin(F.radians("lat"))).alias("z"),
+    ).select(
+        "way_id",
+        F.round(F.degrees(F.atan2("y", "x")), 6).alias("c_lon_r"),
+        F.round(F.degrees(F.atan2(F.col("z"), F.sqrt(F.col("x") * F.col("x") + F.col("y") * F.col("y")))), 6).alias("c_lat_r"),
+    )
+    hit = _find_middle_hit(spark, sf)
+    wkts = wn.groupBy("way_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "lon", "lat"))).alias("pl")
+    ).select(
         "way_id",
         F.concat(
             F.lit("LINESTRING("),
@@ -705,6 +685,26 @@ def q_wkt_linestring(spark, sf):
             ),
             F.lit(")"),
         ).alias("wkt"),
+    )
+    return (
+        ways.join(lens, "way_id", "left")
+        .join(segmid, "way_id", "left")
+        .join(cent, "way_id", "inner")
+        .join(hit, "way_id", "left")
+        .join(wkts, "way_id", "inner")
+        .select(
+            "way_id",
+            F.coalesce("slen_r", F.lit(0.0)).alias("slen_r"),
+            F.coalesce("elen_r", F.lit(0.0)).alias("elen_r"),
+            F.coalesce("seg_mid_lon_r", F.lit(0.0)).alias("seg_mid_lon_r"),
+            F.coalesce("seg_mid_lat_r", F.lit(0.0)).alias("seg_mid_lat_r"),
+            "c_lon_r",
+            "c_lat_r",
+            F.coalesce("cut_idx", F.lit(0)).alias("cut_idx"),
+            F.round(F.coalesce("mlon", F.lit(0.0)), 6).alias("mid_lon_r"),
+            F.round(F.coalesce("mlat", F.lit(0.0)), 6).alias("mid_lat_r"),
+            "wkt",
+        )
     )
 
 

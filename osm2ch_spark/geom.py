@@ -270,6 +270,10 @@ def calc_radius_curvature(line: np.ndarray) -> float:
     """Mean circumradius (Heron) over point triples ×1000 — geomath.go:26-39 (G9)."""
     line = np.asarray(line, dtype=np.float64)
     n = line.shape[0]
+    if n == 2:
+        # Go returns 0.0/0.0 = NaN (geomath.go:38); Python int division
+        # would raise ZeroDivisionError instead
+        return float("nan")
     rs = 0.0
     for i in range(1, n - 1):
         a = float(great_circle_distance(line[i - 1, 0], line[i - 1, 1], line[i, 0], line[i, 1]))

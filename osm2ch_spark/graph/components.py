@@ -53,12 +53,16 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def _signature(e: DataFrame):
-    """Deterministic set signature (count + two order-insensitive hash
-    sums) — e is already distinct, no extra canonicalization pass."""
+    """Deterministic set signature (count + two order-insensitive 64-bit
+    hash XORs) — e is already distinct, no extra canonicalization pass.
+    xxhash64 (not the 32-bit murmur F.hash) keeps the collision
+    probability negligible; bit_xor (not SUM) is overflow-free under ANSI
+    mode.  Convergence is still CONFIRMED exactly with one anti-join
+    before the loop breaks (see connected_components)."""
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.hash("u", "v").cast("long")).alias("s"),
-        F.sum(F.hash("v", "u").cast("long")).alias("s2"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("s"),
+        F.expr("bit_xor(xxhash64(v, u))").alias("s2"),
     ).collect()[0]
     return (row["n"], row["s"], row["s2"])
 
@@ -91,12 +95,17 @@ def connected_components(
 
     sig = _signature(e)
     for it in range(start_iter + 1, max_iter + 1):
-        e = localcheckpoint(_small_star(_large_star(e)))
-        new_sig = _signature(e)
+        new_e = localcheckpoint(_small_star(_large_star(e)))
+        new_sig = _signature(new_e)
         if checkpoint_dir and ckpt.should_commit(it):
-            e = ckpt.commit(e, it, float(abs(new_sig[0] - sig[0])), new_sig[0])
+            new_e = ckpt.commit(new_e, it, float(abs(new_sig[0] - sig[0])), new_sig[0])
         if new_sig == sig:
-            break
+            # signature says converged — confirm EXACTLY before breaking
+            # (counts already equal, so one-sided anti-join suffices)
+            if new_e.join(e, ["u", "v"], "left_anti").isEmpty():
+                e = new_e
+                break
+        e = new_e
         sig = new_sig
 
     # at convergence every edge points a vertex at its component root

@@ -1,11 +1,14 @@
-"""GA4 — triangle counting by the edge-iterator scheme.
+"""GA4 — triangle counting by the degree-oriented edge-iterator scheme
+(Cohen's MapReduce triangle algorithm / "compact-forward").
 
-Undirected semantics.  Canonical edges (a<b); wedges a<b<c from
-(a,b)⋈(b,c); a wedge closes iff (a,c) is an edge — checked with a
-semi-join.  Two shuffles total; the ordering constraint a<b<c counts
-each triangle exactly once and keeps hub wedge lists bounded by
-orienting edges from low to high degree?  No — by id; degree-orientation
-is an optimization documented for the 100×-scale path.
+Undirected semantics.  Every canonical edge is ORIENTED from its
+lower-(degree, id) endpoint to its higher one; wedges are pairs of
+out-edges of a common vertex, closed by an oriented edge between the two
+out-neighbors.  Orientation bounds every out-degree by O(sqrt(m)) on any
+graph (arboricity bound), so hub vertices — motorway junctions, power-law
+heads — cannot blow up the wedge join the way id-orientation lets them
+(a degree-d hub with small ids would otherwise pay O(d²) wedge rows).
+Three shuffles total; each triangle is generated exactly once.
 """
 
 from __future__ import annotations
@@ -21,14 +24,51 @@ def _canonical(edges: DataFrame) -> DataFrame:
     return und.filter(F.col("u") < F.col("v")).distinct()
 
 
+def _oriented(canon: DataFrame) -> DataFrame:
+    """Orient each canonical edge low-(degree, id) → high-(degree, id).
+    Output (x, y, ky) where ky = struct(degree(y), y) is y's order key
+    (carried so the wedge stage can order out-neighbor pairs without
+    another join)."""
+    sym = canon.unionAll(canon.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    e = (
+        canon.join(deg.withColumnRenamed("u", "_k").withColumnRenamed("d", "du"),
+                   F.col("u") == F.col("_k")).drop("_k")
+        .join(deg.withColumnRenamed("u", "_k").withColumnRenamed("d", "dv"),
+              F.col("v") == F.col("_k")).drop("_k")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("y"),
+        F.when(u_first, F.struct(F.col("dv").alias("d"), F.col("v").alias("n")))
+        .otherwise(F.struct(F.col("du").alias("d"), F.col("u").alias("n")))
+        .alias("ky"),
+    )
+
+
 def triangles_df(edges: DataFrame) -> DataFrame:
     """All triangles as (a, b, c) with a < b < c."""
-    canon = _canonical(edges)
-    e1 = canon.select(F.col("u").alias("a"), F.col("v").alias("b"))
-    e2 = canon.select(F.col("u").alias("b"), F.col("v").alias("c"))
-    wedges = e1.join(e2, "b").select("a", "b", "c")
-    closing = canon.select(F.col("u").alias("a"), F.col("v").alias("c"))
-    return wedges.join(closing, ["a", "c"], "left_semi").select("a", "b", "c")
+    oe = _oriented(_canonical(edges))
+    e1 = oe.select("x", F.col("y").alias("y1"), F.col("ky").alias("k1"))
+    e2 = oe.select("x", F.col("y").alias("y2"), F.col("ky").alias("k2"))
+    # ordered out-neighbor pairs of a common vertex; the closing edge is
+    # oriented y1 → y2 because orientation is a total order
+    wedges = (
+        e1.join(e2, "x")
+        .filter(F.col("k1") < F.col("k2"))
+        .select("x", "y1", "y2")
+    )
+    closing = oe.select(F.col("x").alias("y1"), F.col("y").alias("y2"))
+    tri = wedges.join(closing, ["y1", "y2"], "left_semi")
+    srt = F.array_sort(F.array("x", "y1", "y2"))
+    return tri.select(
+        F.element_at(srt, 1).alias("a"),
+        F.element_at(srt, 2).alias("b"),
+        F.element_at(srt, 3).alias("c"),
+    )
 
 
 def triangle_count(edges: DataFrame) -> int:

@@ -64,8 +64,14 @@ def with_sequential_id(
         *group_cols,
         F.coalesce(F.sum("_grp_cnt").over(w_off), F.lit(0)).alias("_grp_off"),
     )
+    # BROADCAST the offsets: one row per group (metadata-scale by the
+    # contract above).  Catalyst cannot estimate a window-over-aggregate
+    # subtree and falls back to a sort-merge join, which SORTS the full
+    # data table by the group key a second time — measured 2× the whole
+    # stage's CPU on the 21M-row expansion table.  (At 10^12-file scale
+    # the offsets table itself shards hierarchically — module docstring.)
     out = (
-        df.join(offsets, list(group_cols), "inner")
+        df.join(F.broadcast(offsets), list(group_cols), "inner")
         .withColumn(id_col, (F.col("_grp_off") + local).cast("long"))
         .drop("_grp_off")
     )

@@ -518,17 +518,31 @@ def splice_geometry(expanded: DataFrame, edges: DataFrame) -> DataFrame:
 
 
 def build_expanded(source: DataFrame, entity: str = P.DEFAULT_ENTITY,
-                   tag_whitelist: list[str] | None = None) -> DataFrame:
+                   tag_whitelist: list[str] | None = None,
+                   strict: bool = True) -> DataFrame:
     """Full pipeline: source table → final expanded-edge DataFrame.
 
     Columns: expanded_id, source_vertex, target_vertex, weight (km),
     one_way, source_way, target_way, src_source_node, src_target_node,
     dst_source_node, dst_target_node, geom_lons, geom_lats, geom_wkt.
+
+    ``strict=True`` mirrors the reference's fail-fast contract: a way
+    node absent from the node scan is a hard error (osm_loader.go:216-218)
+    rather than a silently shorter geometry.  Pass False to skip the
+    (one extra job) validation count on pre-validated inputs.
     """
     records = parse_source(source)
     # ways feeds four subtrees (node semi-join, use counts, split, seen)
     ways = P.scan_ways(records, entity, tag_whitelist).persist()
     nodes = P.scan_nodes(records, ways)
+    if strict:
+        missing = missing_node_count(ways, nodes)
+        if missing:
+            raise ValueError(
+                f"{missing} way-node reference(s) missing from the node scan "
+                "(reference hard-errors here — osm_loader.go:216-218); "
+                "pass strict=False to proceed on clipped inputs"
+            )
     restrictions = P.scan_restrictions(records)
     counts = node_use_count(ways)
     # edges feeds the expansion twice (e1/e2) and the splice geometry join

@@ -16,8 +16,52 @@ Python-side in splice_geometry.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+
+# DataType instance, not a DDL string: the string form is parsed at import
+# time and needs an active SparkSession (breaks pytest collection).
+@pandas_udf(StringType())
+def _point_wkt6(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Go-parity POINT WKT: Python-side %.6f (correctly-rounded; Java's
+    format_string rounds the shortest repr HALF_UP, which can diverge on
+    raw half-boundary coordinates) — Arrow-vectorized, no per-row Python."""
+    s = np.char.add(
+        np.char.add(np.char.mod("POINT(%.6f", lon.to_numpy(np.float64)), " "),
+        np.char.mod("%.6f)", lat.to_numpy(np.float64)),
+    )
+    return pd.Series(s)
+
+
+def _geojson_linestring_col(lons, lats):
+    """converter_geojson.go:10-21 rendered JVM-side; numbers use Java's
+    exact-round-trip double repr, so parity is parsed-value equality
+    (SURVEY.md §2.7), not byte equality."""
+    pair = F.zip_with(
+        lons, lats,
+        lambda x, y: F.concat(
+            F.lit("["), x.cast("string"), F.lit(","), y.cast("string"), F.lit("]")
+        ),
+    )
+    return F.concat(
+        F.lit('{"type":"LineString","coordinates":['),
+        F.array_join(pair, ","),
+        F.lit("]}"),
+    )
+
+
+def _geojson_point_col(lon, lat):
+    """converter_geojson.go:24-31 — same parsed-value parity contract."""
+    return F.concat(
+        F.lit('{"type":"Point","coordinates":['),
+        lon.cast("string"), F.lit(","), lat.cast("string"),
+        F.lit("]}"),
+    )
 
 EDGES_HEADER = (
     "from_vertex_id;to_vertex_id;weight;geom;was_one_way;edge_id;osm_way_from;"
@@ -33,18 +77,29 @@ def project_units(weight_col, units: str = "km"):
     return weight_col * F.lit(1000.0) if units.lower() == "m" else weight_col
 
 
-def edges_csv_rows(expanded: DataFrame, units: str = "km") -> DataFrame:
+def edges_csv_rows(expanded: DataFrame, units: str = "km",
+                   geom_format: str = "wkt") -> DataFrame:
     """Expanded edges → (expanded_id, csv_row) in the reference layout.
 
     Applies F7 (skip geoms with <2 points — main.go:119-123) at the sink
-    only, matching the reference (such rows still exist upstream)."""
+    only, matching the reference (such rows still exist upstream).
+    ``geom_format``: "wkt" (default) or "geojson" — the reference CLI's
+    -geomf flag (cmd/osm2ch/main.go:20, geometry emit at main.go:126-130).
+    """
+    if geom_format not in ("wkt", "geojson"):
+        raise ValueError(f"geom_format must be wkt|geojson, got {geom_format!r}")
+    geom_col = (
+        F.col("geom_wkt")
+        if geom_format == "wkt"
+        else _geojson_linestring_col(F.col("geom_lons"), F.col("geom_lats"))
+    )
     cost = project_units(F.col("weight"), units)
     row = F.concat_ws(
         ";",
         F.format_string("%d", "source_vertex"),
         F.format_string("%d", "target_vertex"),
         F.format_string("%.6f", cost),
-        F.col("geom_wkt"),
+        geom_col,
         F.when(F.col("one_way"), F.lit("true")).otherwise(F.lit("false")),
         F.format_string("%d", "expanded_id"),
         F.format_string("%d", "source_way"),
@@ -109,20 +164,26 @@ def vertices_rows(expanded: DataFrame) -> DataFrame:
     )
 
 
-def vertices_csv_rows(expanded: DataFrame) -> DataFrame:
-    """(first_seen, csv_row) — WKT point formatted Python-free is safe
-    here only for trig-derived points; raw coords can hit the Java
-    HALF_UP boundary, so format via pandas UDF-free concat of Go-parity
-    strings done in Python would be needed for absolute parity.  The
-    parity tests compare through this exact path."""
+def vertices_csv_rows(expanded: DataFrame, geom_format: str = "wkt") -> DataFrame:
+    """(first_seen, csv_row) — the POINT WKT is formatted Python-side
+    (Arrow-vectorized _point_wkt6): vertex coords are RAW input values
+    that can sit on a %.6f half boundary where Java's shortest-repr
+    HALF_UP diverges from Go's correctly-rounded conversion, unlike the
+    trig-derived weights.  ``geom_format="geojson"`` mirrors -geomf."""
+    if geom_format not in ("wkt", "geojson"):
+        raise ValueError(f"geom_format must be wkt|geojson, got {geom_format!r}")
     v = vertices_rows(expanded)
-    # POINT(lon lat) with %.6f — same boundary caveat as module docstring.
+    geom_col = (
+        _point_wkt6(F.col("lon"), F.col("lat"))
+        if geom_format == "wkt"
+        else _geojson_point_col(F.col("lon"), F.col("lat"))
+    )
     row = F.concat_ws(
         ";",
         F.format_string("%d", "vertex_id"),
         F.format_string("%d", "order_pos"),
         F.format_string("%d", "importance"),
-        F.format_string("POINT(%.6f %.6f)", "lon", "lat"),
+        geom_col,
     )
     return v.select(F.col("first_seen"), row.alias("csv_row"))
 

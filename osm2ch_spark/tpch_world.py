@@ -109,8 +109,12 @@ def tpch_ways(spark, sf_dir) -> DataFrame:
 
 
 def tpch_edges(spark, sf_dir) -> DataFrame:
-    """Real pipeline W1+ID1 over the projected world."""
-    ways = tpch_ways(spark, sf_dir)
+    """Real pipeline W1+ID1 over the projected world.
+
+    ways is persisted: it feeds three subtrees (use counts, the split
+    join, ways_seen in callers) and rebuilding it repeats the lineitem
+    ROW_NUMBER window + collect_list aggregation each time."""
+    ways = tpch_ways(spark, sf_dir).persist()
     nodes = tpch_nodes(spark, sf_dir)
     counts = pipeline.node_use_count(ways)
     return pipeline.split_ways_to_edges(ways, nodes, counts)

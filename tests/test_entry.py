@@ -40,7 +40,7 @@ def test_registry_shape():
 @pytest.mark.parametrize(
     "name",
     ["agg_node_use_count", "self_join_edge_expansion", "dedup_minhash_lsh",
-     "embedding_cosine_topk", "pagerank", "find_middle_point"],
+     "embedding_cosine_topk", "pagerank", "geom_way_scalars"],
 )
 def test_query_matches_oracle(spark, ducks, name):
     import sys
@@ -51,3 +51,17 @@ def test_query_matches_oracle(spark, ducks, name):
     sdf = qs[name](spark, SF).toPandas()
     odf = ducks.execute(os_[name]).fetchdf()
     assert compare(name, sdf, odf) == []
+
+
+def test_cli_parser_defaults():
+    """Flag parity with cmd/osm2ch/main.go:16-23 (names re-spelled for the
+    table-source world; -contract scope-excluded)."""
+    from osm2ch_spark.cli import DEFAULT_TAGS, build_parser
+
+    p = build_parser()
+    a = p.parse_args(["--source", "/x/y"])
+    assert a.geomf == "wkt" and a.units == "km" and a.out == "my_graph.csv"
+    assert "residential" in DEFAULT_TAGS and "motorway_link" in DEFAULT_TAGS
+    assert len(DEFAULT_TAGS.split(",")) == 13  # same 13-tag default set
+    a2 = p.parse_args(["--source", "/x", "--geomf", "geojson", "--units", "m"])
+    assert a2.geomf == "geojson" and a2.units == "m"

@@ -106,3 +106,37 @@ def test_geojson():
     assert np.allclose(d["coordinates"], [list(P1), list(P2)], atol=0)
     p = json.loads(geom.geojson_point(P1))
     assert p == {"type": "Point", "coordinates": [P1[0], P1[1]]}
+
+
+def test_radius_curvature_degenerate():
+    """geomath.go:26-39 on degenerate lines: n==2 → 0/0 = NaN; n<2 →
+    0/(n-2) = -0.0 — Go semantics without a Python ZeroDivisionError."""
+    import math
+
+    assert math.isnan(geom.calc_radius_curvature(np.array([P1, P2])))
+    r1 = geom.calc_radius_curvature(np.array([P1]))
+    assert r1 == 0.0 and math.copysign(1.0, r1) == -1.0
+    r0 = geom.calc_radius_curvature(np.zeros((0, 2)))
+    assert r0 == 0.0 and math.copysign(1.0, r0) == -1.0
+
+
+def test_find_middle_point_many_parity():
+    """Vectorized G6 must be BIT-identical to the scalar walk on ragged
+    batches incl. the Go zero-value edge cases."""
+    rng = np.random.default_rng(7)
+    lines = [
+        np.zeros((0, 2)),                      # empty
+        np.array([[37.5, 55.5]]),              # single point
+        np.array([[37.5, 55.5], [37.5, 55.5]]),  # zero length
+        np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]]),  # exact tie at half
+    ]
+    for n in (2, 3, 5, 17, 130):
+        for _ in range(5):
+            lines.append(rng.uniform(-90, 90, size=(n, 2)))
+    flat = np.concatenate([l.reshape(-1, 2) for l in lines])
+    offsets = np.concatenate([[0], np.cumsum([len(l) for l in lines])])
+    bi, mlon, mlat = geom.find_middle_point_many(flat[:, 0], flat[:, 1], offsets)
+    for i, line in enumerate(lines):
+        si, (sx, sy) = geom.find_middle_point(line)
+        assert bi[i] == si, f"line {i}: idx {bi[i]} != {si}"
+        assert mlon[i] == sx and mlat[i] == sy, f"line {i}: midpoint bits differ"

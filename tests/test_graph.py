@@ -92,6 +92,31 @@ def test_triangles_per_vertex(spark, graphs):
     assert sum(per_v.values()) == 3 * O.triangles_oracle(edges)
 
 
+def test_triangles_skewed_hub(spark):
+    """Degree-orientation keeps hub wedge work bounded: a degree-200 hub
+    with low vertex id would pay C(200,2)=19900 wedges under
+    id-orientation; oriented low-degree→high-degree the hub receives the
+    edges instead and generates ZERO wedges.  Count stays exact."""
+    from osm2ch_spark.graph.triangles import _canonical, _oriented
+
+    hub = 0  # lowest id — the id-orientation worst case
+    spokes = list(range(1, 201))
+    edges = [(hub, s) for s in spokes]
+    # a few closures among spokes → triangles through the hub
+    edges += [(1, 2), (3, 4), (5, 6)]
+    assert O.triangles_oracle(edges) == 3
+    df = edge_df(spark, edges)
+    assert triangle_count(df) == 3
+    oe = _oriented(_canonical(df))
+    out_deg = {
+        r["x"]: r["cnt"]
+        for r in oe.groupBy("x").count().withColumnRenamed("count", "cnt").collect()
+    }
+    # every spoke points AT the hub; the hub has no out-edges at all
+    assert out_deg.get(hub, 0) == 0
+    assert max(out_deg.values()) <= 3
+
+
 def test_adjacency_chunking(spark):
     # a hub with 10 out-edges, chunk size 4 → 3 chunks, degree preserved
     edges = edge_df(spark, [(1, t) for t in range(2, 12)])

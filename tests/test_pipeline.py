@@ -113,6 +113,104 @@ def test_multi_file_order(spark):
     ]
 
 
+def ref_vertices_csv(exp_rows):
+    """Reference vertex-CSV semantics (cmd/osm2ch/main.go:165-187):
+    first-occurrence order over (expanded_id, source-then-target);
+    geometry first-wins from rows passing F7, Go zero value otherwise."""
+    order, geom = [], {}
+    for e in sorted(exp_rows, key=lambda r: r["id"]):
+        valid = len(e["geom"]) >= 2
+        for vid, pt in ((e["source"], e["geom"][0] if valid else None),
+                        (e["target"], e["geom"][-1] if valid else None)):
+            if vid not in geom:
+                geom[vid] = None
+                order.append(vid)
+            if valid and geom[vid] is None:
+                geom[vid] = pt
+    out = []
+    for vid in order:
+        lon, lat = geom[vid] if geom[vid] is not None else (0.0, 0.0)
+        out.append(f"{vid};0;0;POINT({lon:.6f} {lat:.6f})")
+    return out
+
+
+@pytest.mark.parametrize("name", ["t_junction", "split_shared_node", "zero_length_line"])
+def test_vertices_csv_parity(spark, name):
+    """S5 sink incl. the Python-side %.6f POINT formatting (sinks._point_wkt6)."""
+    records = fixtures.micrographs()[name]
+    exp_rows = ref_vertices_csv(ref_expanded(records))
+    src = fixtures.source_df(spark, [fixtures.records_to_row(records)])
+    got = sinks.vertices_csv_rows(pipeline.build_expanded(src))
+    got_rows = [r["csv_row"] for r in sorted(got.collect(), key=lambda r: r["first_seen"])]
+    assert got_rows == exp_rows
+
+
+def test_geojson_edges_sink(spark):
+    """-geomf geojson parity (converter_geojson.go:10-21): parsed-value
+    equality with the expanded geometry and with the Python converter."""
+    import json
+
+    import numpy as np
+
+    from osm2ch_spark import geom as G
+
+    records = fixtures.micrographs()["t_junction"]
+    src = fixtures.source_df(spark, [fixtures.records_to_row(records)])
+    expanded = pipeline.build_expanded(src)
+    rows = {
+        r["expanded_id"]: r["csv_row"]
+        for r in sinks.edges_csv_rows(expanded, geom_format="geojson").collect()
+    }
+    for e in expanded.collect():
+        got = json.loads(rows[e["expanded_id"]].split(";")[3])
+        assert got["type"] == "LineString"
+        want = np.column_stack([e["geom_lons"], e["geom_lats"]])
+        assert np.allclose(np.array(got["coordinates"]), want, atol=0, rtol=0)
+        ref = json.loads(G.geojson_linestring(want))
+        assert np.allclose(np.array(got["coordinates"]), np.array(ref["coordinates"]))
+
+
+def test_geojson_vertices_sink(spark):
+    import json
+
+    records = fixtures.micrographs()["t_junction"]
+    src = fixtures.source_df(spark, [fixtures.records_to_row(records)])
+    expanded = pipeline.build_expanded(src)
+    wkt_rows = [
+        r["csv_row"]
+        for r in sorted(
+            sinks.vertices_csv_rows(expanded).collect(), key=lambda r: r["first_seen"]
+        )
+    ]
+    gj_rows = [
+        r["csv_row"]
+        for r in sorted(
+            sinks.vertices_csv_rows(expanded, geom_format="geojson").collect(),
+            key=lambda r: r["first_seen"],
+        )
+    ]
+    for w, g in zip(wkt_rows, gj_rows):
+        pt = json.loads(g.split(";")[3])
+        assert pt["type"] == "Point"
+        lon, lat = w.split(";")[3][6:-1].split(" ")
+        assert abs(pt["coordinates"][0] - float(lon)) < 1e-6
+        assert abs(pt["coordinates"][1] - float(lat)) < 1e-6
+
+
+def test_strict_missing_node_raises(spark):
+    """build_expanded(strict=True) mirrors the reference fail-fast on a
+    way-node reference absent from the node scan (osm_loader.go:216-218)."""
+    records = [
+        fixtures.node(1, 37.0, 55.0),
+        fixtures.way(1, [1, 2], fixtures.HW),  # node 2 absent
+    ]
+    src = fixtures.source_df(spark, [fixtures.records_to_row(records)])
+    with pytest.raises(ValueError, match="missing from the node scan"):
+        pipeline.build_expanded(src).count()
+    # strict=False keeps the permissive behavior for clipped extracts
+    assert pipeline.build_expanded(src, strict=False).count() == 0
+
+
 def test_write_csv_dist(spark, tmp_path):
     """Distributed CSV sink: concatenating part files in name order must
     equal the single-file driver-side sink output."""
