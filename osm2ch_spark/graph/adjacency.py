@@ -56,8 +56,10 @@ def vertices_table(edges: DataFrame) -> DataFrame:
     srcs = edges.select(F.col("source_vertex").alias("vertex")).distinct()
     tgts = edges.select(F.col("target_vertex").alias("vertex")).distinct()
     verts = srcs.unionAll(tgts).distinct()
+    # shuffle_hash: both sides are same-scale vertex sets — without the
+    # hint the planner's much-smaller rule falls back to sort-merge
     return verts.join(
-        srcs.withColumn("has_out", F.lit(True)), "vertex", "left"
+        srcs.withColumn("has_out", F.lit(True)).hint("shuffle_hash"), "vertex", "left"
     ).select("vertex", F.coalesce("has_out", F.lit(False)).alias("has_out"))
 
 

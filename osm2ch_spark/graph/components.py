@@ -95,7 +95,8 @@ def connected_components(
 
     sig = _signature(e)
     for it in range(start_iter + 1, max_iter + 1):
-        new_e = localcheckpoint(_small_star(_large_star(e)))
+        # eager=False: the signature aggregate below materializes it
+        new_e = localcheckpoint(_small_star(_large_star(e)), eager=False)
         new_sig = _signature(new_e)
         if checkpoint_dir and ckpt.should_commit(it):
             new_e = ckpt.commit(new_e, it, float(abs(new_sig[0] - sig[0])), new_sig[0])

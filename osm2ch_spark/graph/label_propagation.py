@@ -54,7 +54,8 @@ def label_propagation(
             labels.join(best, "vertex", "left")
             .select("vertex", F.coalesce("new_label", "label").alias("label"))
         )
-        new_labels = localcheckpoint(new_labels)
+        # eager=False: the changed-count below materializes it
+        new_labels = localcheckpoint(new_labels, eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.select("vertex", F.col("label").alias("old")), "vertex")

@@ -65,7 +65,11 @@ def pagerank(
     base = (1.0 - damping) / n
     for it in range(start_iter + 1, max_iter + 1):
         contribs = (
-            adj.join(ranks.select("vertex", "rank"), adj.source_vertex == F.col("vertex"), "inner")
+            adj.join(
+                ranks.select("vertex", "rank").hint("shuffle_hash"),
+                adj.source_vertex == F.col("vertex"),
+                "inner",
+            )
             .select(
                 F.explode("neighbors").alias("tgt"),
                 (F.col("rank") / F.col("out_degree")).alias("c"),
@@ -73,8 +77,12 @@ def pagerank(
             .groupBy("tgt")
             .agg(F.sum("c").alias("contrib"))
         )
+        # shuffle_hash hint: verts and contribs have similar sizes, so
+        # the planner's "much smaller side" rule falls back to a
+        # sort-merge join that re-SORTS both 14M-row sides every
+        # iteration; a shuffled hash join streams them instead.
         new_ranks = (
-            verts.join(contribs, verts.vertex == contribs.tgt, "left")
+            verts.join(contribs.hint("shuffle_hash"), verts.vertex == contribs.tgt, "left")
             .select(
                 "vertex",
                 "has_out",
@@ -85,13 +93,18 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        new_ranks = localcheckpoint(new_ranks)
+        # eager=False: the dangling/delta sync right below is the first
+        # action and materializes the checkpoint — one job per iteration
+        new_ranks = localcheckpoint(new_ranks, eager=False)
 
         if tol > 0.0:
             # one sync job: L1 delta + next dangling mass
             stats = (
                 new_ranks.alias("n")
-                .join(ranks.select("vertex", F.col("rank").alias("old")).alias("o"), "vertex")
+                .join(
+                    ranks.select("vertex", F.col("rank").alias("old")).hint("shuffle_hash").alias("o"),
+                    "vertex",
+                )
                 .agg(
                     F.sum(F.abs(F.col("rank") - F.col("old"))).alias("delta"),
                     F.sum(F.when(~F.col("has_out"), F.col("rank")).otherwise(0.0)).alias("dang"),

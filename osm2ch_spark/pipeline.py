@@ -482,8 +482,12 @@ def splice_geometry(expanded: DataFrame, edges: DataFrame) -> DataFrame:
     The midpoint work is hoisted to the per-EDGE side (edge_geom_parts);
     the per-EXPANDED-row splice is pure JVM array/string concatenation —
     no Python touches the big table.  The constituent-edge geometries are
-    re-joined here (kept out of the expansion shuffle on purpose)."""
-    p = edge_geom_parts(edges)
+    re-joined here (kept out of the expansion shuffle on purpose).
+
+    The parts table is persisted: it feeds both the src and dst side of
+    the splice join, and without the cache the midpoint Arrow pass would
+    run twice."""
+    p = edge_geom_parts(edges).persist()
     tail_len = F.greatest(F.lit(0), F.size("geom_lons") - F.col("bi") - 1)
     src = p.select(
         F.col("edge_id").alias("src_edge_id"),

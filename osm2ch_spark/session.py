@@ -58,6 +58,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Dimension tables (restrictions, tag whitelists) broadcast freely.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge: every join in this engine
+        # is an equi-join with bounded per-partition build sides (the
+        # reference itself is pure hash joins — SURVEY §2.5), and SMJ was
+        # measured re-SORTING the cached adjacency and the 14M-row rank
+        # update join EVERY PageRank iteration.  AQE skew-join still
+        # applies; partition counts bound build-side memory at scale.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # …and let AQE convert residual SMJs to shuffled-hash at runtime
+        # when the per-partition build side is small (0 = off by default).
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", str(128 * 1024 * 1024))
         # Timestamps in parquet testdata are µs; keep them stable.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
