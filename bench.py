@@ -75,45 +75,19 @@ def headline_queries(sf_dir=None):
         return edges.count()
 
     def q_edge_pipeline_big(spark):
-        # scaling workload for the flagship parse→split→expand path: a
+        # scaling workload for the flagship parse→split→expand path over a
         # multi-FILE world (the realistic 100-TB shape — thousands of
-        # independent source files, per-file ID groups) sized so per-stage
-        # compute dominates scheduling latency.  Source synthesis is
-        # distributed and deterministic; materialized to parquet so the
-        # measured job reads a real table, not a generator.  Sized by the
-        # sf dir so the sf0.01 warmup pass stays small.
-        n_files = 768 if _sf_of(sf_dir) >= 0.1 else 16
-        path = f"/tmp/bench_big_source_{n_files}"
-        if not os.path.exists(path + "/_SUCCESS"):
-            fixtures.synth_source(spark, n_files=n_files, grid=12).write.mode(
-                "overwrite"
-            ).parquet(path)
-        src = spark.read.parquet(path)
+        # independent source files, per-file ID groups), sized so
+        # per-stage compute dominates scheduling latency
+        src = spark.read.parquet(big_source_path(spark, sf_dir))
         return pipeline.build_expanded(src, strict=False).count()
 
     def q_pagerank_big(spark):
-        # scaling workload: the line graph replicated 10x with disjoint
-        # vertex-id ranges (deterministic) so per-iteration compute
-        # dominates scheduling latency — the honest "does one iteration
-        # scale" measurement (the sf0.1 graph alone is latency-bound).
-        e = W.tpch_expanded(spark, sf_dir).select(
-            F.col("src_edge_id").alias("s"), F.col("dst_edge_id").alias("t")
-        )
-        reps = spark.range(6)
-        big = (
-            e.crossJoin(reps)
-            .select(
-                (F.col("s") + F.col("id") * 10_000_000).alias("source_vertex"),
-                (F.col("t") + F.col("id") * 10_000_000).alias("target_vertex"),
-            )
-            .withColumn("weight", F.lit(1.0))
-            .withColumn("one_way", F.lit(False))
-        )
-        # materialize to parquet, not heap cache: the cached blocks would
-        # starve execution memory for the aggregation-heavy iterations
-        path = "/tmp/bench_big_edges"
-        big.write.mode("overwrite").parquet(path)
-        big = spark.read.parquet(path)
+        # scaling workload: per-iteration compute dominates scheduling
+        # latency (the sf0.1 graph alone is latency-bound); measures the
+        # adjacency build + 3 power iterations over a 127M-edge table —
+        # the north rule's "PageRank iterations/sec, edges/sec" path.
+        big = spark.read.parquet(big_edges_path(spark, sf_dir))
         n_edges = big.count()
         pagerank(big, max_iter=3, tol=0.0).count()
         return n_edges * 3
@@ -156,6 +130,61 @@ DEFAULT_QUERIES = (
 # dominates scheduling latency (the single-file sf0.1 edge_pipeline is
 # ~90 stages × 0.5s, i.e. it measures scheduler latency, not scaling).
 SCALING_QUERIES = ("edge_pipeline_big", "pagerank3_big")
+
+
+def big_source_path(spark, sf_dir):
+    """Deterministic 768-file source table (16 files at warmup scale),
+    materialized to parquet once — never inside a timed region."""
+    from osm2ch_spark import fixtures
+
+    n_files = 768 if _sf_of(sf_dir) >= 0.1 else 16
+    path = f"/tmp/bench_big_source_{n_files}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        fixtures.synth_source(spark, n_files=n_files, grid=12).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def big_edges_path(spark, sf_dir):
+    """Deterministic replicated line graph (127M edges at sf0.1),
+    materialized to parquet once per sf — never inside a timed region
+    (parquet, not heap cache: cached blocks would starve execution memory
+    for the aggregation-heavy iterations)."""
+    from pyspark.sql import functions as F
+
+    from osm2ch_spark import tpch_world as W
+
+    path = f"/tmp/bench_big_edges_sf{_sf_of(sf_dir)}"
+    if not os.path.exists(path + "/_SUCCESS"):
+        e = W.tpch_expanded(spark, sf_dir).select(
+            F.col("src_edge_id").alias("s"), F.col("dst_edge_id").alias("t")
+        )
+        big = (
+            e.crossJoin(spark.range(6))
+            .select(
+                (F.col("s") + F.col("id") * 10_000_000).alias("source_vertex"),
+                (F.col("t") + F.col("id") * 10_000_000).alias("target_vertex"),
+            )
+            .withColumn("weight", F.lit(1.0))
+            .withColumn("one_way", F.lit(False))
+        )
+        big.write.mode("overwrite").parquet(path)
+        spark.catalog.clearCache()
+    return path
+
+
+def prepare_big_inputs():
+    """Materialize every scaling input up front (separate session), so no
+    worker's timed rep ever pays a one-time parquet write."""
+    from osm2ch_spark import get_spark
+
+    spark = get_spark(app_name="bench-prepare", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    for sf in ("/root/testdata/sf0.01", SF_DIR):
+        big_source_path(spark, sf)
+        big_edges_path(spark, sf)
+    spark.stop()
 
 
 def run_once(cpus: int, names=None, reps: int = 1, shuffle_partitions: int | None = None) -> dict:
@@ -234,13 +263,11 @@ def _write_scaling_md(r: dict) -> None:
         "# BENCH/BASELINE.md — scaling evidence (N vs 4N parallelism)",
         "",
         "Sandbox proxy for the north rule's N→4N executor criterion: the same",
-        "jobs on the same inputs at `local[8]` vs `local[32]`, shuffle",
-        "partitions pinned to 64 at BOTH levels (a real cluster scales",
-        "executors, not the partition count), per-query wall = min of 2 reps",
-        "after an sf0.01 warmup pass.  The hardware ceiling is calibrated",
-        "immediately before AND after the Spark runs (32 multiprocessing",
-        "spin workers vs 8) because this VM's effective CPU fluctuates with",
-        "host load; pure-CPU python scales well below 4.0x on this box.",
+        "jobs on the same pre-materialized inputs at `local[8]` vs `local[32]`,",
+        "shuffle partitions pinned to 64 at BOTH levels (a real cluster scales",
+        "executors, not the partition count).  This VM's effective CPU drifts",
+        "~2x with host-neighbor load, so the protocol is drift-robust:",
+        f"{r['protocol']}.",
         "",
         "| query | local[8] s | local[32] s | speedup | rows/s @8 | rows/s @32 |",
         "|---|---|---|---|---|---|",
@@ -253,8 +280,13 @@ def _write_scaling_md(r: dict) -> None:
     lines += [
         "",
         f"- total: {r['local8_sec']} s → {r['local32_sec']} s, speedup **{r['speedup']}×**",
-        f"- hardware ceiling (raw-CPU 8→32 spin): {r['hw_speedup_8_to_32_pre']}× before, "
-        f"{r['hw_speedup_8_to_32_post']}× after → {r['hw_speedup_8_to_32']}× used",
+        f"- per-round walls: "
+        + "; ".join(
+            f"{q} @8={d['rounds_local8']} @32={d['rounds_local32']}"
+            for q, d in r["per_query"].items()
+        ),
+        f"- hardware ceiling (raw-CPU 8→32 spin), bracketing calibrations: "
+        f"{r['hw_calibrations']} → median {r['hw_speedup_8_to_32']}×",
         f"- scaling efficiency vs ideal 4×: **{r['scaling_efficiency_vs_4x']}**",
         f"- scaling efficiency vs the measured hardware ceiling: **{r['scaling_efficiency_vs_hw']}**",
         "",
@@ -275,59 +307,77 @@ def _write_scaling_md(r: dict) -> None:
 def main():
     if "--worker" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--worker") + 1])
+        reps = (
+            int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 1
+        )
         if "--scaling-set" in sys.argv:
             print("BENCH_RESULT " + json.dumps(
-                run_once(cpus, names=SCALING_QUERIES, reps=2, shuffle_partitions=64)
+                run_once(cpus, names=SCALING_QUERIES, reps=reps, shuffle_partitions=64)
             ))
         else:
             print("BENCH_RESULT " + json.dumps(run_once(cpus)))
         return
 
     if "--scaling" in sys.argv:
-        # calibrate BEFORE and AFTER the Spark runs: this sandbox VM's
-        # effective CPU fluctuates (host neighbors / steal) — bracketing
-        # bounds the hardware ceiling during the measurement window.
-        hw_pre = cpu_calibration()
-        results = {}
-        for cpus in (8, 32):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), "--scaling-set"],
-                capture_output=True,
-                text=True,
-                env={
-                    **os.environ,
-                    "SPARK_GRAFT_CPUS": str(cpus),
-                    "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "80g"),
-                },
-            )
-            line = [l for l in p.stdout.splitlines() if l.startswith("BENCH_RESULT ")]
-            if not line:
-                print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
-                sys.exit(1)
-            results[cpus] = json.loads(line[-1][len("BENCH_RESULT "):])
-        hw_post = cpu_calibration()
-        hw_speedup = (hw_pre["hw_speedup_8_to_32"] + hw_post["hw_speedup_8_to_32"]) / 2.0
-        t8, t32 = results[8]["total_sec"], results[32]["total_sec"]
+        # This sandbox VM's effective CPU drifts with host-neighbor load
+        # (observed ~2x swings over 15 minutes, enough to flip an
+        # 8-vs-32-core comparison).  The protocol is therefore
+        # drift-robust: inputs are pre-materialized; the 8- and 32-core
+        # workers run INTERLEAVED for several rounds; the per-query wall
+        # at each level is the MIN over rounds; and the raw-CPU hardware
+        # ceiling is calibrated between every round (median used).
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
+        prepare_big_inputs()
+        cals = [cpu_calibration()["hw_speedup_8_to_32"]]
+        results: dict[int, list] = {8: [], 32: []}
+        for rnd in range(rounds):
+            for cpus in (8, 32):
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--worker", str(cpus), "--scaling-set", "--reps", "1"],
+                    capture_output=True,
+                    text=True,
+                    env={
+                        **os.environ,
+                        "SPARK_GRAFT_CPUS": str(cpus),
+                        "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "80g"),
+                    },
+                )
+                line = [l for l in p.stdout.splitlines() if l.startswith("BENCH_RESULT ")]
+                if not line:
+                    print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+                    sys.exit(1)
+                results[cpus].append(json.loads(line[-1][len("BENCH_RESULT "):]))
+            cals.append(cpu_calibration()["hw_speedup_8_to_32"])
+        hw_speedup = sorted(cals)[len(cals) // 2]
+        best8 = {q: min(r["queries"][q] for r in results[8]) for q in SCALING_QUERIES}
+        best32 = {q: min(r["queries"][q] for r in results[32]) for q in SCALING_QUERIES}
+        t8 = round(sum(best8.values()), 3)
+        t32 = round(sum(best32.values()), 3)
         speedup = t8 / t32
-        rows = results[32]["rows"]
+        rows = results[32][-1]["rows"]
         per_query = {
             q: {
-                "local8_sec": results[8]["queries"][q],
-                "local32_sec": results[32]["queries"][q],
-                "speedup": round(results[8]["queries"][q] / results[32]["queries"][q], 3),
-                "throughput8_rows_per_sec": round(rows[q] / results[8]["queries"][q]),
-                "throughput32_rows_per_sec": round(rows[q] / results[32]["queries"][q]),
+                "local8_sec": best8[q],
+                "local32_sec": best32[q],
+                "speedup": round(best8[q] / best32[q], 3),
+                "throughput8_rows_per_sec": round(rows[q] / best8[q]),
+                "throughput32_rows_per_sec": round(rows[q] / best32[q]),
+                "rounds_local8": [r["queries"][q] for r in results[8]],
+                "rounds_local32": [r["queries"][q] for r in results[32]],
             }
             for q in SCALING_QUERIES
         }
         report = {
             "queries": list(SCALING_QUERIES),
+            "protocol": f"{rounds} interleaved rounds, min per level; "
+                        "inputs pre-materialized; hw ceiling = median of "
+                        f"{len(cals)} bracketing calibrations",
             "local8_sec": t8,
             "local32_sec": t32,
             "speedup": round(speedup, 3),
             "scaling_efficiency_vs_4x": round(speedup / 4.0, 3),
-            "hw_speedup_8_to_32_pre": hw_pre["hw_speedup_8_to_32"],
-            "hw_speedup_8_to_32_post": hw_post["hw_speedup_8_to_32"],
+            "hw_calibrations": cals,
             "hw_speedup_8_to_32": round(hw_speedup, 3),
             "scaling_efficiency_vs_hw": round(speedup / hw_speedup, 3),
             "per_query": per_query,
