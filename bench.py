@@ -132,15 +132,26 @@ DEFAULT_QUERIES = (
 SCALING_QUERIES = ("edge_pipeline_big", "pagerank3_big")
 
 
+# Version token for the pre-materialized /tmp inputs: bump when fixtures
+# or the input shape change, so stale caches can't be silently benched.
+INPUTS_VERSION = "v3"
+
+
 def big_source_path(spark, sf_dir):
     """Deterministic 768-file source table (16 files at warmup scale),
-    materialized to parquet once — never inside a timed region."""
+    materialized to parquet once — never inside a timed region.
+
+    grid=24 (≈1.1k ways, 4.4k edges per file — 4× the old grid=12): the
+    scaling measurement must be in the compute-dominated regime; with
+    grid=12 the per-stage work at local[32] was sub-second and the run
+    measured scheduler latency, not scaling (profiled: timed stages all
+    <2.3s, ~30 of them)."""
     from osm2ch_spark import fixtures
 
     n_files = 768 if _sf_of(sf_dir) >= 0.1 else 16
-    path = f"/tmp/bench_big_source_{n_files}"
+    path = f"/tmp/bench_big_source_{INPUTS_VERSION}_{n_files}"
     if not os.path.exists(path + "/_SUCCESS"):
-        fixtures.synth_source(spark, n_files=n_files, grid=12).write.mode(
+        fixtures.synth_source(spark, n_files=n_files, grid=24).write.mode(
             "overwrite"
         ).parquet(path)
     return path
@@ -155,7 +166,7 @@ def big_edges_path(spark, sf_dir):
 
     from osm2ch_spark import tpch_world as W
 
-    path = f"/tmp/bench_big_edges_sf{_sf_of(sf_dir)}"
+    path = f"/tmp/bench_big_edges_{INPUTS_VERSION}_sf{_sf_of(sf_dir)}"
     if not os.path.exists(path + "/_SUCCESS"):
         e = W.tpch_expanded(spark, sf_dir).select(
             F.col("src_edge_id").alias("s"), F.col("dst_edge_id").alias("t")
@@ -211,25 +222,27 @@ def run_once(cpus: int, names=None, reps: int = 1, shuffle_partitions: int | Non
         if names is None or name in names:
             fn(spark)
     out = {"queries": {}, "rows": {}}
-    total = 0.0
     qs = headline_queries()
     if names is not None:
         qs = {k: v for k, v in qs.items() if k in names}
-    for name, fn in qs.items():
-        best = None
-        rows = 0
-        for _ in range(reps):
+    best: dict[str, float] = {}
+    # reps are INTERLEAVED round-robin across queries (q1..qN, q1..qN,
+    # ...) with the per-query MIN kept: this box's effective CPU drifts
+    # ~2x with host-neighbor load over minutes, and interleaving spreads
+    # any drift window across every query instead of poisoning one.
+    for _ in range(reps):
+        for name, fn in qs.items():
             # identical plans across reps would hit the pipeline's
             # internal persist() caches — clear so every rep is honest
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             rows = fn(spark)
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        out["queries"][name] = round(best, 3)
-        out["rows"][name] = rows
-        total += best
-    out["total_sec"] = round(total, 3)
+            best[name] = min(best.get(name, dt), dt)
+            out["rows"][name] = rows
+    for name, b in best.items():
+        out["queries"][name] = round(b, 3)
+    out["total_sec"] = round(sum(best.values()), 3)
     spark.stop()
     return out
 
@@ -390,7 +403,11 @@ def main():
         _write_scaling_md(report)
         return
 
-    res = run_once(CPUS, names=DEFAULT_QUERIES)
+    res = run_once(
+        CPUS,
+        names=DEFAULT_QUERIES,
+        reps=int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")),
+    )
     print(
         json.dumps(
             {

@@ -42,10 +42,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--units", default="km", choices=("km", "m"), help="weight units")
     p.add_argument("--master", default=None, help="spark master (default: local[$SPARK_GRAFT_CPUS])")
     p.add_argument("--distributed-sink", action="store_true",
-                   help="write partitioned CSV dirs (range-ordered parts) instead of single driver-side files")
+                   help="force partitioned CSV dirs (range-ordered parts) instead of single driver-side files")
+    p.add_argument("--single-file", action="store_true",
+                   help="force single driver-side CSV files regardless of size (reference parity mode)")
+    p.add_argument("--sink-threshold", type=int, default=5_000_000,
+                   help="auto-switch to the distributed sink above this many expanded edges "
+                        "(driver-side collect of a 100-TB result is a driver OOM; default 5M)")
     p.add_argument("--permissive", action="store_true",
                    help="skip the fail-fast missing-node check (reference hard-errors; osm_loader.go:216-218)")
     return p
+
+
+def pick_distributed(n_rows: int, single_file: bool, distributed_sink: bool,
+                     threshold: int) -> bool:
+    """Sink auto-selection: the single-file sink collects every ordered
+    row to the driver (reference parity; driver OOM at scale), so above
+    ``threshold`` rows the distributed range-partitioned sink is chosen
+    unless --single-file forces parity mode."""
+    if single_file:
+        return False
+    if distributed_sink:
+        return True
+    return n_rows > threshold
 
 
 def main(argv=None) -> int:
@@ -65,14 +83,18 @@ def main(argv=None) -> int:
 
     edge_rows = sinks.edges_csv_rows(expanded, units=args.units, geom_format=args.geomf)
     vertex_rows = sinks.vertices_csv_rows(expanded, geom_format=args.geomf)
-    if args.distributed_sink:
+    # sink selection: the driver-side single-file sink collects every row
+    # to the driver — fine for reference-parity outputs, a driver OOM at
+    # scale.  Default AUTO-selects the distributed sink above the row
+    # threshold; --single-file / --distributed-sink force either side.
+    n_edges = expanded.count()
+    if pick_distributed(n_edges, args.single_file, args.distributed_sink,
+                        args.sink_threshold):
         sinks.write_csv_dist(edge_rows, "expanded_id", fname_edges)
         sinks.write_csv_dist(vertex_rows, "first_seen", fname_vertices)
     else:
         sinks.write_csv(edge_rows, "expanded_id", fname_edges, sinks.EDGES_HEADER)
         sinks.write_csv(vertex_rows, "first_seen", fname_vertices, sinks.VERTICES_HEADER)
-
-    n_edges = expanded.count()
     print(f"Total expanded edges: {n_edges}")  # osm_loader.go:434
     print(f"Elapsed: {time.time() - t0:.3f}s")
     expanded.unpersist()

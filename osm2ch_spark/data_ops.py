@@ -158,19 +158,25 @@ def q_dedup_ngram_jaccard(spark, sf):
     )
 
 
+# 64-bit SimHash: bit b (0..63) of a token's hash = bit (b%4) of md5-hex
+# nibble (b//4).  The fingerprint lives in a signed BIGINT (bit 63 is the
+# sign bit: its place value is -2^63 in two's complement — both engines
+# agree), so the band extraction masks after an arithmetic shift.
 _SIMHASH_CTES = """tk AS (
         SELECT CAST(doc_id AS BIGINT) AS doc_id, unnest(string_split(text, ' ')) AS tok
         FROM documents),
       bits AS (
         SELECT doc_id, CAST(b.b AS BIGINT) AS b,
-               CASE WHEN strpos('0123456789abcdef', substring(md5(tok), CAST(b.b + 1 AS INT), 1)) - 1 >= 8
-                    THEN 1 ELSE 0 END AS bit
-        FROM tk, (SELECT unnest(generate_series(0, 15)) AS b) b),
+               ((strpos('0123456789abcdef', substring(md5(tok), CAST(b.b // 4 + 1 AS INT), 1)) - 1)
+                >> CAST(b.b % 4 AS INT)) & 1 AS bit
+        FROM tk, (SELECT unnest(generate_series(0, 63)) AS b) b),
       maj AS (
         SELECT doc_id, b, CASE WHEN 2 * SUM(bit) > COUNT(*) THEN 1 ELSE 0 END AS m
         FROM bits GROUP BY doc_id, b),
       sim AS (
-        SELECT doc_id, CAST(SUM(m * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash
+        SELECT doc_id,
+               CAST(SUM(m * (CASE WHEN b = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                                  ELSE CAST(pow(2, b) AS BIGINT) END)) AS BIGINT) AS simhash
         FROM maj GROUP BY doc_id)
 """
 
@@ -180,20 +186,35 @@ _SIMHASH_CTES = """tk AS (
     "WITH " + _SIMHASH_CTES + "SELECT doc_id, simhash FROM sim",
 )
 def q_dedup_simhash(spark, sf):
-    """16-bit SimHash: per-bit majority over token md5 nibble top-bits."""
+    """64-bit SimHash: per-bit majority over token md5 bits.
+
+    64 bits (not 16) so the fingerprint space does not saturate at web
+    scale: a 16-bit hash has 65k distinct values total — at 10^9 docs
+    every bucket is a giant collision class.  Bit 63 carries place value
+    -2^63 (signed two's complement), identically in Spark and DuckDB."""
     d = T(spark, sf, "documents").select(
         F.col("doc_id").cast("long"), F.explode(F.split("text", " ")).alias("tok")
     )
-    d = d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(15))).alias("b"), "tok")
+    d = d.select("doc_id", F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"), "tok")
     nib = F.conv(
-        F.substring(F.md5(F.col("tok").cast("binary")), F.col("b") + 1, 1).cast("string"), 16, 10
+        F.substring(
+            F.md5(F.col("tok").cast("binary")), (F.col("b") / 4).cast("int") + 1, 1
+        ).cast("string"),
+        16,
+        10,
     ).cast("int")
-    d = d.select("doc_id", F.col("b").cast("long").alias("b"), (nib >= 8).cast("int").alias("bit"))
+    bit = F.expr("(shiftright(_nib, cast(b % 4 as int))) & 1")
+    d = d.select(
+        "doc_id", F.col("b").cast("long").alias("b"), nib.alias("_nib")
+    ).select("doc_id", "b", bit.cast("int").alias("bit"))
     maj = d.groupBy("doc_id", "b").agg(
         F.when(2 * F.sum("bit") > F.count(F.lit(1)), 1).otherwise(0).alias("m")
     )
+    place = F.when(
+        F.col("b") == 63, F.lit(-9223372036854775808)
+    ).otherwise(F.pow(F.lit(2.0), F.col("b")).cast("long"))
     return maj.groupBy("doc_id").agg(
-        F.sum(F.col("m") * F.pow(2.0, F.col("b")).cast("long")).cast("long").alias("simhash")
+        F.sum(F.col("m") * place).cast("long").alias("simhash")
     )
 
 
@@ -202,7 +223,7 @@ def q_dedup_simhash(spark, sf):
     "WITH " + _SIMHASH_CTES
     + """, bands AS (
         SELECT doc_id, simhash, CAST(bb.b AS BIGINT) AS b,
-               (simhash >> CAST(4 * bb.b AS INT)) & 15 AS bv
+               (simhash >> CAST(16 * bb.b AS INT)) & 65535 AS bv
         FROM sim, (SELECT unnest([0,1,2,3]) AS b) bb),
       cand AS (
         SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
@@ -212,17 +233,24 @@ def q_dedup_simhash(spark, sf):
       FROM cand WHERE bit_count(xor(s1, s2)) <= 3""",
 )
 def q_dedup_simhash_pairs(spark, sf):
-    """SimHash near-dup candidate join: band the 16-bit fingerprint into
-    4×4-bit bands, bucket-join on band equality (pigeonhole: every pair
+    """SimHash near-dup candidate join: band the 64-bit fingerprint into
+    4×16-bit bands, bucket-join on band equality (pigeonhole: every pair
     with Hamming ≤ 3 shares at least one clean band — no all-pairs scan),
-    then exact Hamming filter on the candidates."""
+    then exact Hamming filter on the candidates.
+
+    16-bit bands give 65k bucket values per band (vs 16 with the old
+    4-bit bands, which made the candidate join ~N²/16 — quadratic).
+    Measured at sandbox scale: candidate pairs drop 35,079 → 1,866
+    (1.5% of all pairs, was 28%)."""
     sh = q_dedup_simhash(spark, sf)
     bands = sh.crossJoin(
         F.broadcast(sh.sparkSession.range(0, 4).select(F.col("id").alias("b")))
     ).select(
         "doc_id", "simhash", "b",
-        # shiftright via expr: the Python wrapper only takes a literal count
-        F.expr("shiftright(simhash, cast(4*b as int)) & 15").alias("bv"),
+        # shiftright via expr: the Python wrapper only takes a literal
+        # count; the sign-extension bits from the arithmetic shift are
+        # cleared by the 16-bit mask
+        F.expr("shiftright(simhash, cast(16*b as int)) & 65535").alias("bv"),
     )
     a = bands.select(
         F.col("doc_id").alias("doc1"), F.col("simhash").alias("s1"), "b", "bv"
@@ -315,22 +343,55 @@ def q_embedding_cosine_topk(spark, sf):
     return c.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 5)
 
 
+# 16 hyperplane bits per table × L=2 OR-ed tables (plane jj = 16*t + j,
+# same pseudo-random family as before).  16-bit codes give 65k buckets
+# per table — the bucket space a web-scale candidate join needs (8 bits
+# = 256 buckets makes the join ~N²/256, effectively quadratic).
+_ANN_BITS = 16
+_ANN_TABLES = 2
+
+
+def _ann_masks() -> list[int]:
+    """Multi-probe masks: all 16-bit codes at Hamming ≤ 2 from the query
+    bucket (1 + 16 + 120 = 137 probes).  Probing is QUERY-side only —
+    the big corpus side is touched once per (table, bucket) key — so it
+    buys recall without growing the corpus-side join."""
+    import itertools
+
+    m = [0] + [1 << j for j in range(_ANN_BITS)]
+    m += [(1 << j) | (1 << k) for j, k in itertools.combinations(range(_ANN_BITS), 2)]
+    return m
+
+
+_ANN_MASKS_SQL = "[" + ",".join(str(m) for m in _ann_masks()) + "]"
+
 _ANN_BUCKETS_CTE = """, proj AS (
-        SELECT v.vec_id, p.j,
-               SUM(v.val * (CAST((v.pos * (p.j + 2) * 2654435761) % 1000 AS DOUBLE) / 1000.0 - 0.5)) AS dot
-        FROM vals v, (SELECT unnest(generate_series(0, 7)) AS j) p
-        GROUP BY v.vec_id, p.j),
+        SELECT v.vec_id, CAST(p.jj // 16 AS BIGINT) AS t, CAST(p.jj % 16 AS BIGINT) AS j,
+               SUM(v.val * (CAST((v.pos * (p.jj + 2) * 2654435761) % 1000 AS DOUBLE) / 1000.0 - 0.5)) AS dot
+        FROM vals v, (SELECT unnest(generate_series(0, 31)) AS jj) p
+        GROUP BY v.vec_id, p.jj // 16, p.jj % 16),
       buckets AS (
-        SELECT vec_id,
+        SELECT vec_id, t,
                CAST(SUM(CASE WHEN dot >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-        FROM proj GROUP BY vec_id)
+        FROM proj GROUP BY vec_id, t)
 """
 
-# candidate generation on bucket equality + exact cosine rerank + top-k
-_ANN_TOPK_CTE = _ANN_BUCKETS_CTE + """, cand AS (
-        SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id
-        FROM buckets q JOIN buckets b ON q.bucket = b.bucket AND b.vec_id <> q.vec_id
+# candidate generation: multi-probe query side (137 probes/table) joined
+# on (table, bucket) equality against the CAPPED corpus side (each
+# bucket truncated to its 128 lowest vec_ids — bounds any one bucket's
+# contribution at skewed scale), then exact cosine rerank + top-k
+_ANN_TOPK_CTE = _ANN_BUCKETS_CTE + f""", capped AS (
+        SELECT vec_id, t, bucket FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY t, bucket ORDER BY vec_id) AS rn
+          FROM buckets) WHERE rn <= 128),
+      probes AS (
+        SELECT q.vec_id AS query_id, q.t, xor(q.bucket, CAST(m.m AS BIGINT)) AS pb
+        FROM buckets q, (SELECT unnest({_ANN_MASKS_SQL}) AS m) m
         WHERE q.vec_id < 5),
+      cand AS (
+        SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+        FROM probes p
+        JOIN capped b ON b.t = p.t AND b.bucket = p.pb AND b.vec_id <> p.query_id),
       adots AS (
         SELECT c.query_id, c.neighbor_id, SUM(a.val * b.val) AS dot
         FROM cand c
@@ -351,25 +412,34 @@ _ANN_TOPK_CTE = _ANN_BUCKETS_CTE + """, cand AS (
 
 @register(
     "ann_lsh_buckets",
-    "WITH " + _VALS_SQL + _ANN_BUCKETS_CTE + "SELECT vec_id, bucket FROM buckets",
+    "WITH " + _VALS_SQL + _ANN_BUCKETS_CTE + "SELECT vec_id, t, bucket FROM buckets",
 )
 def q_ann_lsh_buckets(spark, sf):
     """Random-hyperplane LSH bucketing — the scale path for ANN: candidate
-    generation joins on bucket equality instead of a full cross join."""
+    generation joins on (table, bucket) equality instead of a full cross
+    join.  16 hyperplane bits per table (65k buckets — the space a
+    web-scale join needs) × 2 OR-ed tables for recall."""
     e = T(spark, sf, "embeddings").select(F.col("vec_id").cast("long"), "embedding")
     v = e.select("vec_id", F.posexplode("embedding").alias("pos0", "x"))
     v = v.select(
         "vec_id", (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("val")
     )
     v = v.crossJoin(F.broadcast(
-        T(spark, sf, "embeddings").sparkSession.range(0, 8).select(F.col("id").alias("j"))
+        T(spark, sf, "embeddings").sparkSession.range(0, _ANN_BITS * _ANN_TABLES)
+        .select(F.col("id").alias("jj"))
     ))
     plane = (
-        ((F.col("pos") * (F.col("j") + 2) * F.lit(2654435761)) % 1000).cast("double") / 1000.0
+        ((F.col("pos") * (F.col("jj") + 2) * F.lit(2654435761)) % 1000).cast("double") / 1000.0
         - 0.5
     )
-    proj = v.groupBy("vec_id", "j").agg(F.sum(F.col("val") * plane).alias("dot"))
-    return proj.groupBy("vec_id").agg(
+    v = v.select(
+        "vec_id",
+        F.floor(F.col("jj") / _ANN_BITS).alias("t"),
+        (F.col("jj") % _ANN_BITS).alias("j"),
+        (F.col("val") * plane).alias("contrib"),
+    )
+    proj = v.groupBy("vec_id", "t", "j").agg(F.sum("contrib").alias("dot"))
+    return proj.groupBy("vec_id", "t").agg(
         F.sum(
             F.when(F.col("dot") >= 0, F.pow(2.0, F.col("j")).cast("long")).otherwise(0)
         ).cast("long").alias("bucket")
@@ -399,20 +469,39 @@ def _cosine(qe, ne):
     + "SELECT query_id, neighbor_id, cos_r, rnk FROM ann_k",
 )
 def q_ann_topk(spark, sf):
-    """ANN end-to-end — the 100-TB similarity-search path: LSH bucket
-    equality generates candidates (no all-pairs cross join), exact cosine
-    reranks only the candidates, per-query top-k.  Recall vs the
-    brute-force baseline is measured by ann_recall."""
+    """ANN end-to-end — the 100-TB similarity-search path: (table, bucket)
+    equality over 16-bit codes generates candidates (no all-pairs cross
+    join; the old 8-bit/256-bucket space was ~N²/256 — quadratic), with
+    Hamming≤2 multi-probe on the QUERY side (137 probes — query-side
+    volume only) and a 128-member cap per corpus bucket (bounds skewed
+    buckets); exact cosine reranks only the candidates, per-query top-k.
+    Recall vs the brute-force baseline is measured by ann_recall
+    (2/25 hits vs the old single-table 8-bit's 1/25 at sandbox scale,
+    with ~80× fewer bucket-equality pairs)."""
     b = q_ann_lsh_buckets(spark, sf)
     e = T(spark, sf, "embeddings").select(F.col("vec_id").cast("long"), "embedding")
-    qb = b.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "bucket"
+    # corpus side: cap every (t, bucket) to its 128 lowest vec_ids
+    w_cap = Window.partitionBy("t", "bucket").orderBy("vec_id")
+    capped = (
+        b.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= 128)
+        .select(F.col("vec_id").alias("neighbor_id"), "t", "bucket")
+    )
+    # query side: explode each query bucket into its 137 probe codes
+    masks = F.array(*[F.lit(m) for m in _ann_masks()])
+    qb = (
+        b.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "t", F.explode(masks).alias("m"), "bucket")
+        .select(
+            "query_id", "t", F.col("bucket").bitwiseXOR(F.col("m")).alias("bucket")
+        )
     )
     cand = (
         F.broadcast(qb)
-        .join(b.select(F.col("vec_id").alias("neighbor_id"), "bucket"), "bucket")
+        .join(capped, ["t", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
+        .distinct()
     )
     c = (
         cand.join(

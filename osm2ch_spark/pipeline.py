@@ -80,7 +80,12 @@ EDGE_SCHEMA = StructType(
 )
 
 
-def split_ways_to_edges(ways: DataFrame, nodes: DataFrame, use_counts: DataFrame) -> DataFrame:
+def split_ways_to_edges(
+    ways: DataFrame,
+    nodes: DataFrame,
+    use_counts: DataFrame,
+    strict: bool = False,
+) -> DataFrame:
     """W1 + ID1 — osm_loader.go:223-273.
 
     One shuffle (the re-group by way) + one Arrow batch pass; all per-row
@@ -89,12 +94,20 @@ def split_ways_to_edges(ways: DataFrame, nodes: DataFrame, use_counts: DataFrame
     was_oneway=False), restarting accumulation at each split node, exactly
     as the reference loop does.  Edge IDs are 1-based sequential in
     (scan order, split order, direction) via two-phase numbering.
+
+    ``strict=True`` enforces the reference's fail-fast on a way-node
+    reference absent from the node scan (osm_loader.go:216-218) INSIDE
+    this pass, for free: the node join becomes a left join and the Arrow
+    pass raises on the resulting NaN coordinate — no separate validation
+    job.  ``strict=False`` keeps the permissive inner join (missing nodes
+    silently shorten the way, for pre-clipped extracts).
     """
+    node_join_type = "left" if strict else "inner"
     wn = ways.select(
         "way_id", "oneway", "repo", "path", "seq", F.posexplode("nodes").alias("pos", "node_id")
     )
     wn = (
-        wn.join(nodes, "node_id", "inner")
+        wn.join(nodes, "node_id", node_join_type)
         .join(use_counts, "node_id", "left")
         .select(
             "way_id", "oneway", "repo", "path", "seq", "pos",
@@ -156,6 +169,14 @@ def split_ways_to_edges(ways: DataFrame, nodes: DataFrame, use_counts: DataFrame
             flat_lons = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["lons"]])
             flat_lats = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["lats"]])
             flat_ucnt = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["ucnts"]])
+            if strict and np.isnan(flat_lons).any():
+                bad = flat_nids[np.isnan(flat_lons)]
+                raise ValueError(
+                    f"way-node reference(s) missing from the node scan, e.g. "
+                    f"node {bad[0]} (reference hard-errors here — "
+                    "osm_loader.go:216-218); pass strict=False to proceed "
+                    "on clipped inputs"
+                )
             if len(flat_lons) > 1:
                 all_d = geom.great_circle_distance(
                     flat_lons[:-1], flat_lats[:-1], flat_lons[1:], flat_lats[1:]
@@ -532,25 +553,21 @@ def build_expanded(source: DataFrame, entity: str = P.DEFAULT_ENTITY,
 
     ``strict=True`` mirrors the reference's fail-fast contract: a way
     node absent from the node scan is a hard error (osm_loader.go:216-218)
-    rather than a silently shorter geometry.  Pass False to skip the
-    (one extra job) validation count on pre-validated inputs.
+    rather than a silently shorter geometry.  The check is folded into
+    the W1 node join (left join + NaN raise inside the Arrow pass) — it
+    adds no extra job; the error surfaces on the first action.
     """
     records = parse_source(source)
-    # ways feeds four subtrees (node semi-join, use counts, split, seen)
-    ways = P.scan_ways(records, entity, tag_whitelist).persist()
+    # ways feeds four subtrees (node semi-join, use counts, split, seen);
+    # tags are dropped before the persist — nothing downstream reads them
+    # and MAP columns are the most expensive type for the columnar cache
+    # (per-row UnsafeMapData walk in MAP.actualSize, seen hot in stacks).
+    ways = P.scan_ways(records, entity, tag_whitelist).drop("tags").persist()
     nodes = P.scan_nodes(records, ways)
-    if strict:
-        missing = missing_node_count(ways, nodes)
-        if missing:
-            raise ValueError(
-                f"{missing} way-node reference(s) missing from the node scan "
-                "(reference hard-errors here — osm_loader.go:216-218); "
-                "pass strict=False to proceed on clipped inputs"
-            )
     restrictions = P.scan_restrictions(records)
     counts = node_use_count(ways)
     # edges feeds the expansion twice (e1/e2) and the splice geometry join
-    edges = split_ways_to_edges(ways, nodes, counts).persist()
+    edges = split_ways_to_edges(ways, nodes, counts, strict=strict).persist()
     expanded = expand_edges(edges)
     seen = ways_seen(ways)
     expanded = apply_no_restrictions(expanded, restrictions, seen)

@@ -37,6 +37,23 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Memoized persisted DataFrames, keyed by (applicationId, sf_dir, builder).
+# The ~50-query oracle gate runs in ONE session and most queries re-derive
+# the same projected world; without memoization every call stacked a FRESH
+# persist() of the same plan (ways/edges/expanded), ballooning storage
+# memory across the gate.  With it, repeated calls reuse one cache entry.
+# spark.catalog.clearCache() between bench reps only drops the cached
+# blocks — the memoized plan re-caches on next use, still honest per-rep.
+_MEMO: dict = {}
+
+
+def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+    k = (spark.sparkContext.applicationId, sf_dir, key)
+    if k not in _MEMO:
+        _MEMO[k] = build().persist()
+    return _MEMO[k]
+
+
 # ---------------------------------------------------------------------------
 # Spark-side constructors
 # ---------------------------------------------------------------------------
@@ -111,10 +128,10 @@ def tpch_ways(spark, sf_dir) -> DataFrame:
 def tpch_edges(spark, sf_dir) -> DataFrame:
     """Real pipeline W1+ID1 over the projected world.
 
-    ways is persisted: it feeds three subtrees (use counts, the split
-    join, ways_seen in callers) and rebuilding it repeats the lineitem
-    ROW_NUMBER window + collect_list aggregation each time."""
-    ways = tpch_ways(spark, sf_dir).persist()
+    ways is persisted (memoized per session+sf): it feeds three subtrees
+    (use counts, the split join, ways_seen in callers) and rebuilding it
+    repeats the lineitem ROW_NUMBER window + collect_list aggregation."""
+    ways = _memo(spark, sf_dir, "ways", lambda: tpch_ways(spark, sf_dir))
     nodes = tpch_nodes(spark, sf_dir)
     counts = pipeline.node_use_count(ways)
     return pipeline.split_ways_to_edges(ways, nodes, counts)
@@ -157,7 +174,7 @@ def tpch_final_expanded(spark, sf_dir) -> DataFrame:
     """Expansion + both restriction passes (J4 then J5)."""
     ways = tpch_ways(spark, sf_dir)
     # expanded feeds three subtrees (base + rule derivation + anti-joins)
-    expanded = tpch_expanded(spark, sf_dir).persist()
+    expanded = _memo(spark, sf_dir, "expanded", lambda: tpch_expanded(spark, sf_dir))
     rules = tpch_rules(expanded)
     seen = pipeline.ways_seen(ways)
     out = pipeline.apply_no_restrictions(expanded, rules, seen)
@@ -169,8 +186,8 @@ def tpch_spliced(spark, sf_dir) -> DataFrame:
     reference output row (cmd/osm2ch/main.go:139-150) over the projected
     world."""
     ways = tpch_ways(spark, sf_dir)
-    edges = tpch_edges(spark, sf_dir).persist()
-    expanded = pipeline.expand_edges(edges).persist()
+    edges = _memo(spark, sf_dir, "edges", lambda: tpch_edges(spark, sf_dir))
+    expanded = _memo(spark, sf_dir, "expanded2", lambda: pipeline.expand_edges(edges))
     rules = tpch_rules(expanded)
     seen = pipeline.ways_seen(ways)
     out = pipeline.apply_no_restrictions(expanded, rules, seen)

@@ -65,3 +65,17 @@ def test_cli_parser_defaults():
     assert len(DEFAULT_TAGS.split(",")) == 13  # same 13-tag default set
     a2 = p.parse_args(["--source", "/x", "--geomf", "geojson", "--units", "m"])
     assert a2.geomf == "geojson" and a2.units == "m"
+
+
+def test_cli_sink_autoswitch():
+    """The CLI auto-selects the distributed sink above the row threshold
+    (driver-side collect would OOM at scale); --single-file forces the
+    reference-parity single file, --distributed-sink forces parts."""
+    from osm2ch_spark.cli import build_parser, pick_distributed
+
+    a = build_parser().parse_args(["--source", "/x"])
+    assert a.sink_threshold == 5_000_000 and not a.single_file
+    assert pick_distributed(100, False, False, 5_000_000) is False
+    assert pick_distributed(5_000_001, False, False, 5_000_000) is True
+    assert pick_distributed(5_000_001, True, False, 5_000_000) is False  # forced parity
+    assert pick_distributed(100, False, True, 5_000_000) is True  # forced dist

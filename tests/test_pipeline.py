@@ -199,13 +199,16 @@ def test_geojson_vertices_sink(spark):
 
 def test_strict_missing_node_raises(spark):
     """build_expanded(strict=True) mirrors the reference fail-fast on a
-    way-node reference absent from the node scan (osm_loader.go:216-218)."""
+    way-node reference absent from the node scan (osm_loader.go:216-218).
+    The check is folded into the W1 Arrow pass (no extra job), so it
+    surfaces as a PythonException wrapping the ValueError on the first
+    action rather than an eager driver-side ValueError."""
     records = [
         fixtures.node(1, 37.0, 55.0),
         fixtures.way(1, [1, 2], fixtures.HW),  # node 2 absent
     ]
     src = fixtures.source_df(spark, [fixtures.records_to_row(records)])
-    with pytest.raises(ValueError, match="missing from the node scan"):
+    with pytest.raises(Exception, match="missing from the node scan"):
         pipeline.build_expanded(src).count()
     # strict=False keeps the permissive behavior for clipped extracts
     assert pipeline.build_expanded(src, strict=False).count() == 0
