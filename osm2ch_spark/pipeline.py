@@ -132,6 +132,9 @@ def split_ways_to_edges(
     def split(batches):
         import pandas as pd
 
+        from osm2ch_spark.udftrace import traced
+        batches = traced("split", batches)
+
         def empty():
             return pd.DataFrame(
                 {
@@ -442,6 +445,9 @@ def edge_geom_parts(edges: DataFrame) -> DataFrame:
 
     def parts(batches):
         import pandas as pd
+
+        from osm2ch_spark.udftrace import traced
+        batches = traced("parts", batches)
 
         for pdf in batches:
             n_rows = len(pdf)

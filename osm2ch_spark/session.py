@@ -38,6 +38,14 @@ def get_spark(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    # pyarrow's default jemalloc pool madvise-purges aggressively; with
+    # many concurrent Python workers the resulting kernel-side page churn
+    # (zone lock + memcg accounting) burned ~1.6s of SYSTEM time per
+    # Arrow batch at 32-way — measured 39s -> 26s wall on the flagship
+    # pipeline just from switching workers to the plain system allocator.
+    # Set before the JVM starts so the Python worker daemon inherits it;
+    # executorEnv carries it to real multi-executor clusters.
+    os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
     )
@@ -68,6 +76,8 @@ def get_spark(
         # …and let AQE convert residual SMJs to shuffled-hash at runtime
         # when the per-partition build side is small (0 = off by default).
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", str(128 * 1024 * 1024))
+        .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
+                os.environ["ARROW_DEFAULT_MEMORY_POOL"])
         # Timestamps in parquet testdata are µs; keep them stable.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
