@@ -343,8 +343,23 @@ def main():
         prepare_big_inputs()
         cals = [cpu_calibration()["hw_speedup_8_to_32"]]
         results: dict[int, list] = {8: [], 32: []}
+
+        def wait_for_memory(need_gb: int = 95, timeout_s: int = 120):
+            # back-to-back subprocess JVMs: the previous 80g heap can
+            # still be unwinding when the next -Xms80g JVM starts;
+            # wait for the kernel to actually reclaim it
+            t0 = time.time()
+            while time.time() - t0 < timeout_s:
+                avail = int(
+                    [l for l in open("/proc/meminfo") if l.startswith("MemAvailable")][0].split()[1]
+                ) // (1024 * 1024)
+                if avail >= need_gb:
+                    return
+                time.sleep(2)
+
         for rnd in range(rounds):
             for cpus in (8, 32):
+                wait_for_memory()
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--worker", str(cpus), "--scaling-set", "--reps", "1"],

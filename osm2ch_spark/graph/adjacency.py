@@ -22,27 +22,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def build_adjacency(edges: DataFrame, num_buckets: int = 32, max_chunk: int = 4096) -> DataFrame:
-    """Group the edge table into chunked, bucketed adjacency shards."""
+def build_adjacency(edges: DataFrame, num_buckets: int = 32, max_chunk: int = 4096,
+                    with_weights: bool = True) -> DataFrame:
+    """Group the edge table into chunked, bucketed adjacency shards.
+
+    ``with_weights=False`` omits the weights lists: unweighted consumers
+    (PageRank) never read them, and the second collect_list both doubles
+    the aggregate's heap footprint (the CSR build is the engine's most
+    GC-heavy stage at 10^8 edges) and doubles the cached shard bytes."""
+    aggs = [F.collect_list("target_vertex").alias("nbrs")]
+    if with_weights:
+        aggs.append(F.collect_list("weight").alias("wts"))
     adj = (
         edges.groupBy("source_vertex")
-        .agg(
-            F.collect_list("target_vertex").alias("nbrs"),
-            F.collect_list("weight").alias("wts"),
-        )
+        .agg(*aggs)
         .withColumn("out_degree", F.size("nbrs").cast("long"))
     )
     # chunk hub lists: slice(nbrs, k*max_chunk+1, max_chunk) per chunk k
     n_chunks = F.ceil(F.col("out_degree") / F.lit(max_chunk)).cast("int")
     adj = adj.withColumn("chunk", F.explode(F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))))
-    adj = adj.select(
+    cols = [
         F.pmod(F.hash("source_vertex"), F.lit(num_buckets)).alias("src_bucket"),
         "source_vertex",
         "chunk",
         F.slice(F.col("nbrs"), F.col("chunk") * max_chunk + 1, max_chunk).alias("neighbors"),
-        F.slice(F.col("wts"), F.col("chunk") * max_chunk + 1, max_chunk).alias("weights"),
-        "out_degree",
-    )
+    ]
+    if with_weights:
+        cols.append(F.slice(F.col("wts"), F.col("chunk") * max_chunk + 1, max_chunk).alias("weights"))
+    adj = adj.select(*cols, "out_degree")
     # partition by the JOIN KEY (hash(source_vertex)): the cached scan
     # then satisfies the per-iteration rank⋈adjacency distribution
     # requirement, so iterations reshuffle only the small rank side.

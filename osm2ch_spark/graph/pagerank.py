@@ -41,7 +41,10 @@ def pagerank(
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
-    adj = build_adjacency(edges, num_buckets=num_buckets).persist()
+    # with_weights=False: PageRank is unweighted (networkx semantics);
+    # skipping the weights collect_list halves the CSR build's heap
+    # churn and the cached shard size
+    adj = build_adjacency(edges, num_buckets=num_buckets, with_weights=False).persist()
     verts = vertices_table(edges).persist()
     n = verts.count()
     if n == 0:

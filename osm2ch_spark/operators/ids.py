@@ -38,6 +38,7 @@ def with_sequential_id(
     order_cols: list[str],
     id_col: str,
     persist_input: bool = True,
+    broadcast_offsets: bool = True,
 ) -> DataFrame:
     """Add ``id_col`` = 1-based gapless rank under the total order
     ``(group_cols, order_cols)``, which must be duplicate-free.  Groups
@@ -48,7 +49,15 @@ def with_sequential_id(
     ``persist_input``: the counts branch and the main branch both consume
     df; persisting computes it once.  Pass False when df is a cheap
     transform of already-persisted inputs — recomputing a narrow hash
-    join is cheaper than caching millions of rows."""
+    join is cheaper than caching millions of rows.
+
+    ``broadcast_offsets``: True (default) asserts the caller's group key
+    is METADATA-scale (one row per source file here) and broadcasts the
+    offsets table — see the comment below for why the hint is load-
+    bearing.  A caller numbering by a HIGH-CARDINALITY group key must
+    pass False: broadcasting would collect every group onto the driver
+    (the plain shuffled join it falls back to is the correct plan
+    there)."""
     if persist_input:
         df = df.persist()
 
@@ -70,8 +79,10 @@ def with_sequential_id(
     # data table by the group key a second time — measured 2× the whole
     # stage's CPU on the 21M-row expansion table.  (At 10^12-file scale
     # the offsets table itself shards hierarchically — module docstring.)
+    if broadcast_offsets:
+        offsets = F.broadcast(offsets)
     out = (
-        df.join(F.broadcast(offsets), list(group_cols), "inner")
+        df.join(offsets, list(group_cols), "inner")
         .withColumn(id_col, (F.col("_grp_off") + local).cast("long"))
         .drop("_grp_off")
     )

@@ -91,9 +91,14 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_DRIVER_JAVA_OPTS",
-                # AlwaysPreTouch: fault the whole heap in at JVM start —
-                # this sandbox VM provisions pages lazily and first-touch
-                # stalls otherwise dominate the first big query.
+                # AlwaysPreTouch is LOAD-BEARING on this VM (lazily
+                # provisioned pages): an interleaved A/B on the 127M-edge
+                # PageRank measured 50-58s WITH pretouch vs 170-180s
+                # without — faulting the heap in mid-run at 32 threads
+                # dominates otherwise.  Back-to-back bench subprocesses
+                # must wait for the previous JVM's heap to be reclaimed
+                # before starting (bench.py wait_for_memory) or the
+                # pretouch OOM-kills the gateway.
                 f"-Xms{mem} -XX:+UseParallelGC -XX:+AlwaysPreTouch",
             ),
         )
