@@ -198,6 +198,20 @@ def prepare_big_inputs():
     spark.stop()
 
 
+def prepare_big_inputs_subprocess():
+    """Run prepare in a CHILD process: a pyspark gateway JVM lives until
+    its Python process exits (spark.stop() does not kill it), and with
+    -Xms + AlwaysPreTouch a lingering 48g prepare JVM in the protocol
+    parent starves the 80g worker JVMs (observed gateway OOM-exit)."""
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--prepare"],
+        capture_output=True, text=True,
+    )
+    if p.returncode != 0:
+        print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
+        sys.exit(1)
+
+
 def run_once(cpus: int, names=None, reps: int = 1, shuffle_partitions: int | None = None) -> dict:
     """Run the headline queries; with reps>1 keep the per-query MIN
     (steady-state — this sandbox VM has large first-touch costs that are
@@ -318,6 +332,9 @@ def _write_scaling_md(r: dict) -> None:
 
 
 def main():
+    if "--prepare" in sys.argv:
+        prepare_big_inputs()
+        return
     if "--worker" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--worker") + 1])
         reps = (
@@ -340,7 +357,7 @@ def main():
         # at each level is the MIN over rounds; and the raw-CPU hardware
         # ceiling is calibrated between every round (median used).
         rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
-        prepare_big_inputs()
+        prepare_big_inputs_subprocess()
         cals = [cpu_calibration()["hw_speedup_8_to_32"]]
         results: dict[int, list] = {8: [], 32: []}
 
@@ -356,6 +373,8 @@ def main():
                 if avail >= need_gb:
                     return
                 time.sleep(2)
+            print(f"WARN: proceeding with only {avail}G available (< {need_gb}G)",
+                  file=sys.stderr)
 
         for rnd in range(rounds):
             for cpus in (8, 32):
