@@ -22,6 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# warmup runs use the small sibling sf dir of SF_DIR (overridable) so the
+# harness works on any testdata layout, not just /root/testdata
+WARMUP_SF_DIR = os.environ.get(
+    "SPARK_GRAFT_WARMUP_SF_DIR",
+    os.path.join(os.path.dirname(SF_DIR.rstrip("/")) or "/root/testdata", "sf0.01"),
+)
 
 
 def _sf_of(path: str) -> float:
@@ -134,24 +140,28 @@ SCALING_QUERIES = ("edge_pipeline_big", "pagerank3_big")
 
 # Version token for the pre-materialized /tmp inputs: bump when fixtures
 # or the input shape change, so stale caches can't be silently benched.
-INPUTS_VERSION = "v3"
+INPUTS_VERSION = "v4"
 
 
 def big_source_path(spark, sf_dir):
-    """Deterministic 768-file source table (16 files at warmup scale),
+    """Deterministic 2048-file source table (16 files at warmup scale),
     materialized to parquet once — never inside a timed region.
 
-    grid=24 (≈1.1k ways, 4.4k edges per file — 4× the old grid=12): the
-    scaling measurement must be in the compute-dominated regime; with
-    grid=12 the per-stage work at local[32] was sub-second and the run
-    measured scheduler latency, not scaling (profiled: timed stages all
-    <2.3s, ~30 of them)."""
+    Sizing history: the scaling measurement must sit in the compute-
+    dominated regime.  v3 (768 files, grid=24) was sized for the round-3
+    engine; after round 4 removed the cache-lock waits and the Python
+    allocator/page-fault overheads (~10× on the UDF passes), that input
+    finished in ~22 s at local[8] — smaller than the pipeline's ~8-10 s
+    fixed stage-chain latency, so the ratio measured latency again.  v4
+    (2048 files, grid=40 → ~83 ways / 13k expanded rows per file, ~30M
+    expanded rows total) restores per-stage compute ≫ scheduling floor at
+    both parallelism levels."""
     from osm2ch_spark import fixtures
 
-    n_files = 768 if _sf_of(sf_dir) >= 0.1 else 16
+    n_files = 2048 if _sf_of(sf_dir) >= 0.1 else 16
     path = f"/tmp/bench_big_source_{INPUTS_VERSION}_{n_files}"
     if not os.path.exists(path + "/_SUCCESS"):
-        fixtures.synth_source(spark, n_files=n_files, grid=24).write.mode(
+        fixtures.synth_source(spark, n_files=n_files, grid=40).write.mode(
             "overwrite"
         ).parquet(path)
     return path
@@ -192,7 +202,7 @@ def prepare_big_inputs():
 
     spark = get_spark(app_name="bench-prepare", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
-    for sf in ("/root/testdata/sf0.01", SF_DIR):
+    for sf in (WARMUP_SF_DIR, SF_DIR):
         big_source_path(spark, sf)
         big_edges_path(spark, sf)
     spark.stop()
@@ -232,7 +242,7 @@ def run_once(cpus: int, names=None, reps: int = 1, shuffle_partitions: int | Non
     # warmup: run the same paths at sf0.01 untimed — absorbs JIT, heap
     # page-faulting, and Python-worker spawn so timings measure the plan,
     # not first-touch costs.
-    for name, fn in headline_queries("/root/testdata/sf0.01").items():
+    for name, fn in headline_queries(WARMUP_SF_DIR).items():
         if names is None or name in names:
             fn(spark)
     out = {"queries": {}, "rows": {}}
@@ -246,8 +256,11 @@ def run_once(cpus: int, names=None, reps: int = 1, shuffle_partitions: int | Non
     # any drift window across every query instead of poisoning one.
     for _ in range(reps):
         for name, fn in qs.items():
-            # identical plans across reps would hit the pipeline's
-            # internal persist() caches — clear so every rep is honest
+            # drop memoized world tables + any cached plans so every rep
+            # honestly rebuilds from the parquet inputs
+            from osm2ch_spark import tpch_world as W
+
+            W.reset_world()
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             rows = fn(spark)

@@ -219,8 +219,22 @@ def find_middle_point_many(flat_lons, flat_lats, offsets):
     else:
         seg_all = np.zeros(0)
 
+    # fast path: single-segment lines (the dominant shape once ways are
+    # split at every intersection).  The matrix path reduces to k=0,
+    # frac=(t/2)/t which is EXACTLY 0.5 in IEEE (t/2 is exact, and
+    # round((t/2)/t)=0.5), so 0.5*x0+0.5*x1 reproduces
+    # (1-frac)*x0+frac*x1 bit-for-bit; t<=0 / NaN leave the zero default
+    # exactly as the matrix path's empty `valid` row does.
+    two = np.flatnonzero(lens == 2)
+    if len(two):
+        t = seg_all[offsets[two]]
+        g = two[t > 0]
+        og = offsets[g]
+        mlon[g] = 0.5 * flat_lons[og] + 0.5 * flat_lons[og + 1]
+        mlat[g] = 0.5 * flat_lats[og] + 0.5 * flat_lats[og + 1]
+
     MAXL = 4096
-    act = np.flatnonzero((lens >= 2) & (lens - 1 <= MAXL))
+    act = np.flatnonzero((lens >= 3) & (lens - 1 <= MAXL))
     for r in np.flatnonzero(lens - 1 > MAXL):  # rare huge lines: scalar path
         o, n = offsets[r], lens[r]
         i, (x, y) = find_middle_point(

@@ -85,6 +85,7 @@ def split_ways_to_edges(
     nodes: DataFrame,
     use_counts: DataFrame,
     strict: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """W1 + ID1 — osm_loader.go:223-273.
 
@@ -133,6 +134,8 @@ def split_ways_to_edges(
         import pandas as pd
 
         from osm2ch_spark.udftrace import traced
+        from osm2ch_spark.workerenv import prewarm
+        prewarm()
         batches = traced("split", batches)
 
         def empty():
@@ -268,7 +271,8 @@ def split_ways_to_edges(
     # (repo, path, seq, seg, dir) order).
     segments = segments.withColumn("_idb", F.floor(F.col("seq") / 256))
     out = with_sequential_id(
-        segments, ["repo", "path", "_idb"], ["seq", "seg_index", "direction"], "edge_id"
+        segments, ["repo", "path", "_idb"], ["seq", "seg_index", "direction"],
+        "edge_id", materialize=materialize,
     )
     return out.drop("_idb")
 
@@ -282,7 +286,7 @@ def filter_vertices_used(nodes: DataFrame, use_counts: DataFrame) -> DataFrame:
     )
 
 
-def expand_edges(edges: DataFrame) -> DataFrame:
+def expand_edges(edges: DataFrame, materialize: bool = False) -> DataFrame:
     """J3 + F5 + F6 + ID2 — osm_loader.go:285-343 (pre-splice).
 
     Self hash-equi-join on e1.target_node == e2.source_node; skip self
@@ -293,11 +297,15 @@ def expand_edges(edges: DataFrame) -> DataFrame:
 
     Skew note: hub intersections make target_node skewed; AQE skew-join
     handles the build side at scale (session.py turns it on).
+
+    edges is consumed twice (build and probe side of the self-join) —
+    the caller is expected to pass a materialized table (an eagerly
+    checkpointed ``split_ways_to_edges(materialize=True)`` output or a
+    persisted table), so the upstream work runs once.  With
+    ``materialize=True`` the numbered pair table is itself eagerly
+    checkpointed (the self-join runs once, not once per consumer
+    branch).
     """
-    # edges is consumed twice (build and probe side of the self-join);
-    # persist so the split UDF + numbering run once (cacheManager dedups
-    # if the caller persisted the same plan already).
-    edges = edges.persist()
     # Only endpoint SCALARS travel through the join/numbering/anti-joins
     # (the F6 check needs just the first/last geometry points); the full
     # arrays are re-joined at splice time — this keeps the big shuffles
@@ -350,9 +358,7 @@ def expand_edges(edges: DataFrame) -> DataFrame:
         ["src_repo", "src_path", "_idb"],
         ["src_edge_id", "dst_edge_id"],
         "expanded_id",
-        # j is a narrow hash join of the persisted edges table — cheaper
-        # to recompute for the counts branch than to cache millions of rows
-        persist_input=False,
+        materialize=materialize,
     )
     return out.drop("_idb")
 
@@ -447,6 +453,8 @@ def edge_geom_parts(edges: DataFrame) -> DataFrame:
         import pandas as pd
 
         from osm2ch_spark.udftrace import traced
+        from osm2ch_spark.workerenv import prewarm
+        prewarm()
         batches = traced("parts", batches)
 
         for pdf in batches:
@@ -467,21 +475,17 @@ def edge_geom_parts(edges: DataFrame) -> DataFrame:
                 flat_lons = np.zeros(0)
                 flat_lats = np.zeros(0)
             bi, mlon, mlat = geom.find_middle_point_many(flat_lons, flat_lats, offsets)
-            # one vectorized %.6f pass over every point ('%.6f' % x is the
-            # same correctly-rounded conversion as f"{x:.6f}")
-            pts = np.char.add(
-                np.char.add(np.char.mod("%.6f", flat_lons), " "),
-                np.char.mod("%.6f", flat_lats),
-            )
-            mid_s = np.char.add(
-                np.char.add(np.char.mod("%.6f", mlon), " "), np.char.mod("%.6f", mlat)
-            )
+            # one '%.6f' pass over every point — the same correctly-
+            # rounded conversion as Go's fmt %f (np.char.mod was measured
+            # 4x slower than plain Python formatting here)
+            pts = ["%.6f %.6f" % ab for ab in zip(flat_lons, flat_lats)]
+            mid_s = ["%.6f %.6f" % ab for ab in zip(mlon, mlat)]
             src_str = [
-                ",".join([m] + list(pts[o + b + 1 : o + n]))
+                ",".join([m] + pts[o + b + 1 : o + n])
                 for m, o, b, n in zip(mid_s, offsets[:-1], bi, lens)
             ]
             dst_str = [
-                ",".join(list(pts[o : o + b + 1]) + [m])
+                ",".join(pts[o : o + b + 1] + [m])
                 for m, o, b in zip(mid_s, offsets[:-1], bi)
             ]
             yield pd.DataFrame(
@@ -502,7 +506,8 @@ def edge_geom_parts(edges: DataFrame) -> DataFrame:
     )
 
 
-def splice_geometry(expanded: DataFrame, edges: DataFrame) -> DataFrame:
+def splice_geometry(expanded: DataFrame, edges: DataFrame,
+                    materialize: bool = False) -> DataFrame:
     """G6 + G7 — osm_loader.go:315-320,337: expanded-edge geometry =
     [from-middle] ++ from.Geom[i+1:] ++ to.Geom[:j+1] ++ [to-middle].
 
@@ -511,10 +516,15 @@ def splice_geometry(expanded: DataFrame, edges: DataFrame) -> DataFrame:
     no Python touches the big table.  The constituent-edge geometries are
     re-joined here (kept out of the expansion shuffle on purpose).
 
-    The parts table is persisted: it feeds both the src and dst side of
-    the splice join, and without the cache the midpoint Arrow pass would
-    run twice."""
-    p = edge_geom_parts(edges).persist()
+    The parts table feeds both the src and dst side of the splice join;
+    with ``materialize=True`` it is eagerly local-checkpointed so the
+    midpoint Arrow pass runs once and its blocks are freed with the
+    DataFrame (a persist here leaked cache lifetime and made the two
+    branches race on cache-block locks on first use; exchange reuse
+    misses because the branches prune different columns)."""
+    p = edge_geom_parts(edges)
+    if materialize:
+        p = p.localCheckpoint(eager=True)
     tail_len = F.greatest(F.lit(0), F.size("geom_lons") - F.col("bi") - 1)
     src = p.select(
         F.col("edge_id").alias("src_edge_id"),
@@ -564,21 +574,42 @@ def build_expanded(source: DataFrame, entity: str = P.DEFAULT_ENTITY,
     adds no extra job; the error surfaces on the first action.
     """
     records = parse_source(source)
-    # ways feeds four subtrees (node semi-join, use counts, split, seen);
-    # tags are dropped before the persist — nothing downstream reads them
-    # and MAP columns are the most expensive type for the columnar cache
-    # (per-row UnsafeMapData walk in MAP.actualSize, seen hot in stacks).
-    ways = P.scan_ways(records, entity, tag_whitelist).drop("tags").persist()
-    nodes = P.scan_nodes(records, ways)
-    restrictions = P.scan_restrictions(records)
+    # The pipeline materializes its fan-out tables with EAGER LOCAL
+    # CHECKPOINTS, never persist():  persisted fan-outs made concurrent
+    # AQE stage jobs race on cache-block locks, the losers OCCUPYING task
+    # slots — a ~19 s non-scaling wall floor on the 768-file flagship run
+    # — and relying on exchange reuse instead fails because per-branch
+    # column pruning de-canonicalizes the shared exchanges (measured 6×
+    # split-UDF re-execution).  Checkpointed RDD blocks are read lock-
+    # free by every consumer stage and freed by the context cleaner when
+    # the result DataFrame is dropped (no cache-manager lifetime leak).
+    #
+    # slim: the JSON parse runs ONCE here; the repartition spreads the
+    # per-file line blow-up over the full shuffle-partition width before
+    # the checkpoint pins it (the hash key is unique per line — even
+    # balance at any partition count).
+    n_part = int(source.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    slim = P.slim_records(records, entity).repartition(
+        n_part, F.col("repo"), F.col("path"), F.col("seq")
+    ).localCheckpoint(eager=True)
+    ways = P.scan_ways_slim(slim, tag_whitelist)
+    restrictions = P.scan_restrictions_slim(slim)
     counts = node_use_count(ways)
-    # edges feeds the expansion twice (e1/e2) and the splice geometry join
-    edges = split_ways_to_edges(ways, nodes, counts, strict=strict).persist()
-    expanded = expand_edges(edges)
+    # membership probe rides the counts aggregation (same node_id keys) —
+    # no separate explode+distinct subtree
+    nodes = P.scan_nodes_slim(slim, ways, use_counts=counts)
+    # edges feeds the expansion twice (e1/e2) and the splice geometry
+    # join; materialize=True checkpoints the ranked split output — the
+    # split UDF runs once.
+    edges = split_ways_to_edges(ways, nodes, counts, strict=strict,
+                                materialize=True)
+    # the numbered pair table feeds the two anti-join probes and the
+    # splice; materialize=True runs the self-join once.
+    expanded = expand_edges(edges, materialize=True)
     seen = ways_seen(ways)
     expanded = apply_no_restrictions(expanded, restrictions, seen)
     expanded = apply_only_restrictions(expanded, restrictions, seen)
-    expanded = splice_geometry(expanded, edges)
+    expanded = splice_geometry(expanded, edges, materialize=True)
     return expanded.select(
         "expanded_id",
         F.col("src_edge_id").alias("source_vertex"),

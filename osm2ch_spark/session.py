@@ -46,6 +46,14 @@ def get_spark(
     # Set before the JVM starts so the Python worker daemon inherits it;
     # executorEnv carries it to real multi-executor clusters.
     os.environ.setdefault("ARROW_DEFAULT_MEMORY_POOL", "system")
+    # Retain worker heap between Arrow batches: this host's minor page
+    # faults cost ~100 µs (lazily provisioned VM pages), so transient
+    # mmap/munmap of large numpy/Arrow buffers burned ~3 s of SYSTEM
+    # time per UDF batch and did not shrink with cores (workerenv.py).
+    from osm2ch_spark.workerenv import MALLOC_ENV
+
+    for k, v in MALLOC_ENV.items():
+        os.environ.setdefault(k, v)
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
     )
@@ -78,6 +86,11 @@ def get_spark(
         .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", str(128 * 1024 * 1024))
         .config("spark.executorEnv.ARROW_DEFAULT_MEMORY_POOL",
                 os.environ["ARROW_DEFAULT_MEMORY_POOL"])
+        .config("spark.executorEnv.MALLOC_MMAP_THRESHOLD_",
+                os.environ["MALLOC_MMAP_THRESHOLD_"])
+        .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
+                os.environ["MALLOC_TRIM_THRESHOLD_"])
+        .config("spark.executorEnv.PYTHONMALLOC", os.environ["PYTHONMALLOC"])
         # Timestamps in parquet testdata are µs; keep them stable.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

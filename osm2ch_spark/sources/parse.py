@@ -84,6 +84,88 @@ def oneway_col(tags: Column) -> Column:
     return F.coalesce(tags.getItem("oneway").isin("yes", "1"), F.lit(False))
 
 
+def slim_records(records: DataFrame, entity: str = DEFAULT_ENTITY) -> DataFrame:
+    """Parsed records projected down to EXACTLY what the pipeline reads —
+    the tags MAP (the widest, slowest column) is reduced to three scalars
+    before any exchange.
+
+    ``build_expanded`` puts ONE hash exchange on top of this projection
+    and feeds all three scans from it: the JSON parse (the reference's
+    three file ``Seek``s, osm_loader.go:27/80/110) then runs ONCE, its
+    output lives in shuffle files (disk-backed, no executor memory
+    pinned), and every consumer stage reads those — AQE stage reuse
+    materializes the exchange exactly once.  The previous design ran
+    from_json once per scan (3×) and persisted downstream tables, whose
+    concurrent first-use made AQE stage jobs race on cache-block locks.
+    """
+    return records.select(
+        "repo",
+        "path",
+        "seq",
+        F.col("rec.type").alias("rec_type"),
+        F.col("rec.id").alias("rec_id"),
+        F.col("rec.lon").alias("lon"),
+        F.col("rec.lat").alias("lat"),
+        F.col("rec.nodes").alias("nodes"),
+        F.col("rec.tags").getItem(entity).alias("entity_tag"),
+        oneway_col(F.col("rec.tags")).alias("oneway"),
+        F.col("rec.tags").getItem("restriction").alias("restriction"),
+        F.col("rec.members").alias("members"),
+    )
+
+
+def scan_ways_slim(slim: DataFrame, tag_whitelist: list[str] | None = None) -> DataFrame:
+    """S1 + F1 + F2 + P1 over ``slim_records`` output (the pipeline's
+    shared-exchange path).  Same rows as ``scan_ways`` minus the tags
+    column (nothing downstream of the pipeline reads it)."""
+    tag_whitelist = tag_whitelist if tag_whitelist is not None else DEFAULT_TAGS
+    w = slim.filter(F.col("rec_type") == "way")
+    w = w.filter(F.col("entity_tag").isNotNull())
+    w = w.filter(F.col("entity_tag").isin(tag_whitelist))
+    return w.select(
+        F.col("rec_id").alias("way_id"), "oneway", "nodes", "repo", "path", "seq"
+    )
+
+
+def scan_nodes_slim(slim: DataFrame, ways: DataFrame,
+                    use_counts: DataFrame | None = None) -> DataFrame:
+    """S2 + J1 over ``slim_records`` output — same semantics as
+    ``scan_nodes``.
+
+    ``use_counts``: when the caller has already aggregated per-node use
+    counts (A1 — every counted node is by construction referenced by a
+    kept way), the membership probe joins against that table instead of
+    re-deriving explode(nodes)+distinct — two fewer stages and one fewer
+    full shuffle of the node references, and the dedup groupBy lands
+    co-partitioned with the counts aggregation."""
+    n = slim.filter(F.col("rec_type") == "node").select(
+        F.col("rec_id").alias("node_id"), "lon", "lat", "repo", "path", "seq"
+    )
+    if use_counts is not None:
+        seen = use_counts.select("node_id")
+    else:
+        seen = ways.select(F.explode("nodes").alias("node_id")).distinct()
+    return _dedup_nodes(n, seen)
+
+
+def scan_restrictions_slim(slim: DataFrame) -> DataFrame:
+    """S3 + F3 + P2 + P3 over ``slim_records`` output — same semantics as
+    ``scan_restrictions``."""
+    r = slim.filter(
+        (F.col("rec_type") == "relation") & F.col("restriction").isNotNull()
+    )
+    r = r.filter(F.size("members") == 3)
+    m = r.select(
+        F.col("rec_id").alias("rel_id"),
+        F.col("restriction").alias("rtype"),
+        "repo",
+        "path",
+        "seq",
+        F.posexplode("members").alias("mpos", "m"),
+    )
+    return _pivot_restrictions(m)
+
+
 def scan_ways(
     records: DataFrame,
     entity: str = DEFAULT_ENTITY,
@@ -127,6 +209,12 @@ def scan_nodes(records: DataFrame, ways: DataFrame) -> DataFrame:
         "path",
         "seq",
     )
+    return _dedup_nodes(n, seen)
+
+
+def _dedup_nodes(n: DataFrame, seen: DataFrame) -> DataFrame:
+    """Semi-join against referenced node ids + first-wins dedup in
+    (repo, path, seq) scan order (osm_loader.go:91-98)."""
     n = n.join(seen, "node_id", "left_semi")
     # first-wins dedup in scan order (min_by over the order key)
     return (
@@ -162,6 +250,13 @@ def scan_restrictions(records: DataFrame) -> DataFrame:
         "seq",
         F.posexplode("rec.members").alias("mpos", "m"),
     )
+    return _pivot_restrictions(m)
+
+
+def _pivot_restrictions(m: DataFrame) -> DataFrame:
+    """Role pivot (last-member-wins per role) + first-wins (from, to)
+    dedup — osm_loader.go:137-197.  Input: one row per (relation,
+    member) with columns (rel_id, rtype, repo, path, seq, mpos, m)."""
 
     def role_slot(role: str, out: str):
         # last member with this role wins → max_by member position

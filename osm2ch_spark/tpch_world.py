@@ -37,21 +37,44 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# Memoized persisted DataFrames, keyed by (applicationId, sf_dir, builder).
-# The ~50-query oracle gate runs in ONE session and most queries re-derive
-# the same projected world; without memoization every call stacked a FRESH
-# persist() of the same plan (ways/edges/expanded), ballooning storage
-# memory across the gate.  With it, repeated calls reuse one cache entry.
-# spark.catalog.clearCache() between bench reps only drops the cached
-# blocks — the memoized plan re-caches on next use, still honest per-rep.
+# Memoized EAGERLY MATERIALIZED DataFrames, keyed by (applicationId,
+# sf_dir, builder).  The ~50-query oracle gate runs in ONE session and
+# most queries re-derive the same projected world; without memoization
+# every call stacked a FRESH materialization of the same plan
+# (ways/edges/expanded), ballooning storage memory across the gate.
+#
+# Eager localCheckpoint, not persist(): a lazily-persisted table consumed
+# by several branches of the SAME first action makes concurrent AQE stage
+# jobs race to build its cache blocks — the losers sit on cache-block
+# locks while occupying task slots (measured as a non-scaling wall floor
+# on the flagship pipeline).  Checkpointing computes the table once, up
+# front; consumer stages scan the materialized RDD lock-free, and the
+# blocks are freed by the context cleaner once the entry is dropped
+# (reset_world / app eviction) — no cache-manager lifetime leak.
 _MEMO: dict = {}
 
 
 def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
-    k = (spark.sparkContext.applicationId, sf_dir, key)
+    app = spark.sparkContext.applicationId
+    # evict entries of stopped sessions: a process that cycles get_spark()
+    # (tests/tools) would otherwise pin dead sessions' DataFrames forever
+    for k in [k for k in _MEMO if k[0] != app]:
+        del _MEMO[k]
+    k = (app, sf_dir, key)
     if k not in _MEMO:
-        _MEMO[k] = build().persist()
+        _MEMO[k] = build().localCheckpoint(eager=True)
     return _MEMO[k]
+
+
+def reset_world() -> None:
+    """Drop every memoized world table (all sessions).  Benchmarks call
+    this between reps so each rep honestly rebuilds the projected world;
+    the dropped DataFrames' checkpoint blocks are reclaimed by Spark's
+    context cleaner once the references are gone."""
+    _MEMO.clear()
+    import gc
+
+    gc.collect()
 
 
 # ---------------------------------------------------------------------------
@@ -134,12 +157,12 @@ def tpch_edges(spark, sf_dir) -> DataFrame:
     ways = _memo(spark, sf_dir, "ways", lambda: tpch_ways(spark, sf_dir))
     nodes = tpch_nodes(spark, sf_dir)
     counts = pipeline.node_use_count(ways)
-    return pipeline.split_ways_to_edges(ways, nodes, counts)
+    return pipeline.split_ways_to_edges(ways, nodes, counts, materialize=True)
 
 
 def tpch_expanded(spark, sf_dir) -> DataFrame:
     """Real pipeline J3+ID2 (pre-restriction, pre-splice)."""
-    return pipeline.expand_edges(tpch_edges(spark, sf_dir))
+    return pipeline.expand_edges(tpch_edges(spark, sf_dir), materialize=True)
 
 
 def tpch_rules(expanded: DataFrame) -> DataFrame:
@@ -187,12 +210,15 @@ def tpch_spliced(spark, sf_dir) -> DataFrame:
     world."""
     ways = tpch_ways(spark, sf_dir)
     edges = _memo(spark, sf_dir, "edges", lambda: tpch_edges(spark, sf_dir))
-    expanded = _memo(spark, sf_dir, "expanded2", lambda: pipeline.expand_edges(edges))
+    expanded = _memo(
+        spark, sf_dir, "expanded2",
+        lambda: pipeline.expand_edges(edges, materialize=True),
+    )
     rules = tpch_rules(expanded)
     seen = pipeline.ways_seen(ways)
     out = pipeline.apply_no_restrictions(expanded, rules, seen)
     out = pipeline.apply_only_restrictions(out, rules, seen)
-    return pipeline.splice_geometry(out, edges)
+    return pipeline.splice_geometry(out, edges, materialize=True)
 
 
 def tpch_edge_graph(spark, sf_dir) -> DataFrame:

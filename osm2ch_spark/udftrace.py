@@ -25,7 +25,15 @@ def traced(name: str, batches):
     pid = os.getpid()
     path = os.path.join(trace_dir, f"{pid}.log")
     it = iter(batches)
-    with open(path, "a") as f:
+    try:
+        os.makedirs(trace_dir, exist_ok=True)
+        f = open(path, "a")
+    except OSError:
+        # a typo'd/unwritable trace dir must not turn a debug aid into a
+        # job-killer — fall back to untraced
+        yield from it
+        return
+    with f:
         while True:
             t0 = time.perf_counter()
             try:

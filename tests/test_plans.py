@@ -41,13 +41,37 @@ def test_restriction_antijoin_broadcasts(spark):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
 
 
+def _lazy_pipeline(spark, names):
+    """The full pipeline WITHOUT the eager materialization barriers —
+    exposes every operator in one lazy plan for auditing."""
+    from osm2ch_spark.sources import parse as P
+
+    src = fixtures.micrograph_source(spark, names)
+    records = pipeline.parse_source(src)
+    slim = P.slim_records(records)
+    ways = P.scan_ways_slim(slim)
+    nodes = P.scan_nodes_slim(slim, ways)
+    restrictions = P.scan_restrictions_slim(slim)
+    counts = pipeline.node_use_count(ways)
+    edges = pipeline.split_ways_to_edges(ways, nodes, counts)
+    expanded = pipeline.expand_edges(edges)
+    seen = pipeline.ways_seen(ways)
+    expanded = pipeline.apply_no_restrictions(expanded, restrictions, seen)
+    expanded = pipeline.apply_only_restrictions(expanded, restrictions, seen)
+    return pipeline.splice_geometry(expanded, edges)
+
+
 def test_no_row_python_udfs(spark):
     """All Python is Arrow-batched (MapInPandas); BatchEvalPython (row
-    pickling) must never appear in the pipeline plan."""
-    src = fixtures.micrograph_source(spark, ["t_junction"])
-    p = plan_of(pipeline.build_expanded(src))
+    pickling) must never appear in the pipeline plan.  Audited on the
+    lazy construction (build_expanded materializes the Python passes
+    eagerly, so its returned plan tops out at RDD scans)."""
+    p = plan_of(_lazy_pipeline(spark, ["t_junction"]))
     assert "BatchEvalPython" not in p
     assert "MapInPandas" in p or "mapInPandas" in p.lower()
+    # the materialized flagship plan is Python-free end to end
+    src = fixtures.micrograph_source(spark, ["t_junction"])
+    assert "BatchEvalPython" not in plan_of(pipeline.build_expanded(src))
 
 
 def test_use_count_partial_aggregation(spark):
@@ -79,18 +103,75 @@ def test_whole_stage_codegen_present(spark):
 
 def test_splice_is_jvm_side(spark):
     """G7: the geometry splice over the EXPANDED table must be pure JVM
-    (slice/concat) — Python appears exactly twice, on edge-scale inputs
-    (the W1 split and the per-edge midpoint pass), never on the expanded
-    table."""
+    (slice/concat) — Python appears as exactly two FUNCTIONS, both on
+    edge-scale inputs (the W1 split and the per-edge midpoint pass),
+    never on the expanded table.  (Audited on the lazy construction; the
+    materialization barriers run each pass exactly once — asserted by
+    test_shared_exchanges_run_python_once.)"""
     import re
 
-    src = fixtures.micrograph_source(spark, ["t_junction"])
-    p = plan_of(pipeline.build_expanded(src))
-    # distinct plan-node ids (the formatted plan re-prints shared cached
-    # subtrees, so raw substring counts overcount)
-    ids = set(re.findall(r"MapInPandas \((\d+)\)", p))
-    assert len(ids) == 2, f"expected split + edge-parts only, got {len(ids)}"
+    p = plan_of(_lazy_pipeline(spark, ["t_junction"]))
+    funcs = set()
+    in_mip = False
+    for line in p.splitlines():
+        if re.match(r"\(\d+\) MapInPandas", line.strip()):
+            in_mip = True
+        elif re.match(r"\(\d+\) ", line.strip()):
+            in_mip = False
+        elif in_mip:
+            m = re.match(r"Arguments: (\w+)\(", line.strip())
+            if m:
+                funcs.add(m.group(1))
+    assert funcs == {"split", "parts"}, f"unexpected Python passes: {funcs}"
     assert "BatchEvalPython" not in p
+
+
+def test_shared_exchanges_run_python_once():
+    """The persist-free pipeline relies on AQE stage reuse: the split UDF
+    subtree appears in many plan branches but its exchange must
+    materialize ONCE.  Count actual Python input rows via udftrace in a
+    fresh subprocess session (the env var must predate the JVM)."""
+    import glob
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    trace_dir = tempfile.mkdtemp(prefix="udftrace_")
+    code = """
+import sys
+sys.path.insert(0, %r)
+from osm2ch_spark import get_spark, fixtures, pipeline
+from osm2ch_spark.sources import parse as P
+spark = get_spark(master="local[4]", app_name="reuse-audit")
+spark.sparkContext.setLogLevel("ERROR")
+src = fixtures.micrograph_source(spark, ["t_junction", "split_shared_node"])
+n_ways = P.scan_ways(P.parse_records(src)).count()
+n = pipeline.build_expanded(src).count()
+print("RESULT", n_ways, n)
+spark.stop()
+""" % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        **os.environ,
+        "OSM2CH_UDF_TRACE": trace_dir,
+        "SPARK_DRIVER_MEMORY": "4g",
+        "SPARK_DRIVER_JAVA_OPTS": "-Xms1g",
+    }
+    p = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=300)
+    line = [l for l in p.stdout.splitlines() if l.startswith("RESULT")]
+    assert line, p.stdout[-1500:] + p.stderr[-1500:]
+    n_ways, n_rows = map(int, line[-1].split()[1:])
+    assert n_rows > 0
+    split_rows = 0
+    for path in glob.glob(trace_dir + "/*.log"):
+        for rec in open(path):
+            parts = rec.split()
+            if parts[0] == "split":
+                split_rows += int(parts[4].split("=")[1])
+    # one traced input row per way-group; k-fold recomputation would
+    # show k * n_ways
+    assert split_rows == n_ways, (split_rows, n_ways)
 
 
 def test_sequential_id_offsets_broadcast(spark):

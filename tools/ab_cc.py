@@ -31,7 +31,7 @@ def worker():
         extra_conf={"spark.sql.join.preferSortMergeJoin": prefer},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    bench.headline_queries("/root/testdata/sf0.01")[qname](spark)
+    bench.headline_queries(bench.WARMUP_SF_DIR)[qname](spark)
     spark.catalog.clearCache()
     t0 = time.perf_counter()
     bench.headline_queries()[qname](spark)

@@ -46,7 +46,7 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     fn = bench.headline_queries()[qname]
-    warm = bench.headline_queries("/root/testdata/sf0.01")[qname]
+    warm = bench.headline_queries(bench.WARMUP_SF_DIR)[qname]
     warm(spark)
     spark.catalog.clearCache()
     t0 = time.perf_counter()
