@@ -74,8 +74,24 @@ def main(argv=None) -> int:
     spark = get_spark(app_name="osm2ch_spark_cli", master=args.master)
     src = spark.read.parquet(args.source)
     tags = [t for t in args.tags.split(",") if t]
-    expanded = pipeline.build_expanded(src, tag_whitelist=tags, strict=not args.permissive)
-    expanded = expanded.persist()
+    try:
+        expanded = pipeline.build_expanded(
+            src, tag_whitelist=tags, strict=not args.permissive
+        )
+        expanded = expanded.persist()
+        n_edges = expanded.count()
+    except Exception as e:  # noqa: BLE001 — surface the strict contract cleanly
+        # strict mode raises inside the split UDF at materialization time;
+        # unwrap the Py4J/worker traceback back to the reference's clean
+        # fail-fast message (osm_loader.go:216-218)
+        msg = str(e)
+        if "missing from the node scan" in msg:
+            core = [l for l in msg.splitlines() if "missing from the node scan" in l]
+            print("ERROR: " + core[0].strip(), file=sys.stderr)
+            print("(pass --permissive to proceed on clipped extracts)", file=sys.stderr)
+            spark.stop()
+            return 1
+        raise
 
     stem = args.out.split(".csv")[0]  # main.go:42-45 derives names the same way
     fname_edges = stem + ".csv"
@@ -87,12 +103,20 @@ def main(argv=None) -> int:
     # to the driver — fine for reference-parity outputs, a driver OOM at
     # scale.  Default AUTO-selects the distributed sink above the row
     # threshold; --single-file / --distributed-sink force either side.
-    n_edges = expanded.count()
     if pick_distributed(n_edges, args.single_file, args.distributed_sink,
                         args.sink_threshold):
+        # the output SHAPE changes here (a directory of ordered CSV parts,
+        # not one file) — say so, and how to force parity
+        print(
+            f"sink: distributed ({n_edges} rows > threshold "
+            f"{args.sink_threshold}) — writing DIRECTORIES of range-ordered "
+            "CSV parts; pass --single-file to force single-file reference "
+            "parity output",
+        )
         sinks.write_csv_dist(edge_rows, "expanded_id", fname_edges)
         sinks.write_csv_dist(vertex_rows, "first_seen", fname_vertices)
     else:
+        print("sink: single-file (reference parity)")
         sinks.write_csv(edge_rows, "expanded_id", fname_edges, sinks.EDGES_HEADER)
         sinks.write_csv(vertex_rows, "first_seen", fname_vertices, sinks.VERTICES_HEADER)
     print(f"Total expanded edges: {n_edges}")  # osm_loader.go:434

@@ -343,17 +343,26 @@ def q_embedding_cosine_topk(spark, sf):
     return c.withColumn("rnk", F.row_number().over(w).cast("long")).filter(F.col("rnk") <= 5)
 
 
-# 16 hyperplane bits per table × L=2 OR-ed tables (plane jj = 16*t + j,
-# same pseudo-random family as before).  16-bit codes give 65k buckets
-# per table — the bucket space a web-scale candidate join needs (8 bits
-# = 256 buckets makes the join ~N²/256, effectively quadratic).
-_ANN_BITS = 16
-_ANN_TABLES = 2
+# 8 hyperplane bits per table × L=8 OR-ed tables (plane jj = 8*t + j).
+# Parameter choice is RECALL-driven, measured against this corpus: the
+# embeddings' true top-5 neighbors sit at cosine 0.26-0.40 (nearly
+# orthogonal), so each random hyperplane disagrees between a query and
+# its neighbor with p≈0.40 — long codes are hopeless (16-bit codes:
+# recall 0.08-0.32 at any probe budget tried), while 8-bit codes with
+# Hamming≤2 probing and 8 OR-ed tables measure recall@5 = 0.84 with
+# candidate volume 0.57% of all pairs (offline sweep, numpy).  The
+# web-scale story is NOT the 256-bucket space (which alone would be
+# ~N²/256): candidates are bounded by the per-bucket CAP — per query ≤
+# tables × probes × cap = 8·37·128 ≈ 38k candidates, CONSTANT in N.
+# Scaling law: grow _ANN_BITS with log2(N/cap) to keep buckets near the
+# cap, trading per-table recall for more OR-ed tables.
+_ANN_BITS = 8
+_ANN_TABLES = 8
 
 
 def _ann_masks() -> list[int]:
-    """Multi-probe masks: all 16-bit codes at Hamming ≤ 2 from the query
-    bucket (1 + 16 + 120 = 137 probes).  Probing is QUERY-side only —
+    """Multi-probe masks: all 8-bit codes at Hamming ≤ 2 from the query
+    bucket (1 + 8 + 28 = 37 probes).  Probing is QUERY-side only —
     the big corpus side is touched once per (table, bucket) key — so it
     buys recall without growing the corpus-side join."""
     import itertools
@@ -365,11 +374,23 @@ def _ann_masks() -> list[int]:
 
 _ANN_MASKS_SQL = "[" + ",".join(str(m) for m in _ann_masks()) + "]"
 
-_ANN_BUCKETS_CTE = """, proj AS (
-        SELECT v.vec_id, CAST(p.jj // 16 AS BIGINT) AS t, CAST(p.jj % 16 AS BIGINT) AS j,
-               SUM(v.val * (CAST((v.pos * (p.jj + 2) * 2654435761) % 1000 AS DOUBLE) / 1000.0 - 0.5)) AS dot
-        FROM vals v, (SELECT unnest(generate_series(0, 31)) AS jj) p
-        GROUP BY v.vec_id, p.jj // 16, p.jj % 16),
+# plane(pos, jj): 3-round Lehmer (48271 mod 2^31-1) over a seed mixed
+# from (pos, jj) — measured plane quality on this corpus within 10% of
+# true Gaussian SRP, vs recall 3x lower for the old (pos*(jj+2)*c)%1000
+# linear-congruential family (lattice-structured planes).
+_ANN_PLANE_SQL = (
+    "(CAST(((((v.pos * 2654435761 + (p.jj + 1) * 40503) % 2147483647)"
+    " * 48271 % 2147483647) * 48271 % 2147483647) * 48271 % 2147483647"
+    " AS DOUBLE) / 2147483647.0 - 0.5)"
+)
+
+_ANN_BUCKETS_CTE = f""", proj AS (
+        SELECT v.vec_id, CAST(p.jj // {_ANN_BITS} AS BIGINT) AS t,
+               CAST(p.jj % {_ANN_BITS} AS BIGINT) AS j,
+               SUM(v.val * {_ANN_PLANE_SQL}) AS dot
+        FROM vals v,
+             (SELECT unnest(generate_series(0, {_ANN_BITS * _ANN_TABLES - 1})) AS jj) p
+        GROUP BY v.vec_id, p.jj // {_ANN_BITS}, p.jj % {_ANN_BITS}),
       buckets AS (
         SELECT vec_id, t,
                CAST(SUM(CASE WHEN dot >= 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
@@ -417,8 +438,10 @@ _ANN_TOPK_CTE = _ANN_BUCKETS_CTE + f""", capped AS (
 def q_ann_lsh_buckets(spark, sf):
     """Random-hyperplane LSH bucketing — the scale path for ANN: candidate
     generation joins on (table, bucket) equality instead of a full cross
-    join.  16 hyperplane bits per table (65k buckets — the space a
-    web-scale join needs) × 2 OR-ed tables for recall."""
+    join.  8 hyperplane bits × 8 OR-ed tables with a 3-round-Lehmer plane
+    family — parameters chosen by a measured recall sweep (see the
+    _ANN_BITS comment); per-bucket capping, not bucket-space size, is
+    what bounds the corpus-side join at web scale."""
     e = T(spark, sf, "embeddings").select(F.col("vec_id").cast("long"), "embedding")
     v = e.select("vec_id", F.posexplode("embedding").alias("pos0", "x"))
     v = v.select(
@@ -428,10 +451,12 @@ def q_ann_lsh_buckets(spark, sf):
         T(spark, sf, "embeddings").sparkSession.range(0, _ANN_BITS * _ANN_TABLES)
         .select(F.col("id").alias("jj"))
     ))
-    plane = (
-        ((F.col("pos") * (F.col("jj") + 2) * F.lit(2654435761)) % 1000).cast("double") / 1000.0
-        - 0.5
+    x = (F.col("pos") * F.lit(2654435761) + (F.col("jj") + 1) * F.lit(40503)) % F.lit(
+        2147483647
     )
+    for _ in range(3):  # Lehmer rounds (48271 mod 2^31-1)
+        x = (x * F.lit(48271)) % F.lit(2147483647)
+    plane = x.cast("double") / 2147483647.0 - 0.5
     v = v.select(
         "vec_id",
         F.floor(F.col("jj") / _ANN_BITS).alias("t"),
@@ -470,14 +495,17 @@ def _cosine(qe, ne):
 )
 def q_ann_topk(spark, sf):
     """ANN end-to-end — the 100-TB similarity-search path: (table, bucket)
-    equality over 16-bit codes generates candidates (no all-pairs cross
-    join; the old 8-bit/256-bucket space was ~N²/256 — quadratic), with
-    Hamming≤2 multi-probe on the QUERY side (137 probes — query-side
-    volume only) and a 128-member cap per corpus bucket (bounds skewed
-    buckets); exact cosine reranks only the candidates, per-query top-k.
-    Recall vs the brute-force baseline is measured by ann_recall
-    (2/25 hits vs the old single-table 8-bit's 1/25 at sandbox scale,
-    with ~80× fewer bucket-equality pairs)."""
+    equality over 8-bit codes × 8 OR-ed tables generates candidates (no
+    all-pairs cross join), with Hamming≤2 multi-probe on the QUERY side
+    (37 probes/table — query-side volume only) and a 128-member cap per
+    corpus bucket; exact cosine reranks only the candidates, per-query
+    top-k.  The cap, not the bucket-space size, bounds the corpus-side
+    join at scale: ≤ tables·probes·cap ≈ 38k candidates per query,
+    constant in N (grow _ANN_BITS ~ log2(N/cap) to keep buckets near the
+    cap).  Recall vs the brute-force baseline is measured by ann_recall:
+    0.84 at sandbox scale (was 0.08 with 16-bit codes — this corpus's
+    true neighbors sit at cosine 0.26-0.40, so long codes shatter them),
+    candidate volume 0.57% of all pairs."""
     b = q_ann_lsh_buckets(spark, sf)
     e = T(spark, sf, "embeddings").select(F.col("vec_id").cast("long"), "embedding")
     # corpus side: cap every (t, bucket) to its 128 lowest vec_ids

@@ -50,11 +50,28 @@ class CheckpointManager:
             "rows": rows,
             "delta": delta,
             "partitions": df.rdd.getNumPartitions(),
+            "partition_rows": self._partition_rows(path),
             "checkpoint_path": path,
         }
         with open(self._lineage_path(), "a") as f:
             f.write(json.dumps(meta, sort_keys=True) + "\n")
         return df.sparkSession.read.parquet(path)
+
+    @staticmethod
+    def _partition_rows(path: str) -> list[dict]:
+        """Per-partition row counts of the committed state — the north
+        rule's per-partition lineage.  One parquet file per write task, so
+        footer metadata gives the counts with NO extra Spark job (driver
+        reads ~8 bytes of footer per file)."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for name in sorted(os.listdir(path)):
+            if name.startswith("part-") and name.endswith(".parquet"):
+                out.append(
+                    {"file": name, "rows": pq.ParquetFile(os.path.join(path, name)).metadata.num_rows}
+                )
+        return out
 
     def latest(self) -> dict | None:
         """Most recent committed iteration's lineage row, or None."""

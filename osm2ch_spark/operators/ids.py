@@ -84,7 +84,9 @@ def with_sequential_id(
         df = df.repartition(n, *[F.col(c) for c in group_cols])
     ranked = df.withColumn("_rk", F.row_number().over(w_local))
     if materialize:
-        ranked = ranked.localCheckpoint(eager=True)
+        from osm2ch_spark.workerenv import materialize_df
+
+        ranked = materialize_df(ranked)
 
     # per-group counts = max local rank — derived from the ranked table
     # (not from df) so the materialized path never re-runs the input.

@@ -115,27 +115,23 @@ def split_ways_to_edges(
             "node_id", "lon", "lat", F.coalesce("use_count", F.lit(0)).alias("use_count"),
         )
     )
-    grouped = wn.groupBy("way_id", "oneway", "repo", "path", "seq").agg(
-        F.array_sort(
-            F.collect_list(F.struct("pos", "node_id", "lon", "lat", "use_count"))
-        ).alias("pts")
-    )
-    # ship four parallel primitive arrays across Arrow (struct access from
-    # pandas is dict-of-row — an order of magnitude slower per element)
-    grouped = grouped.select(
-        "way_id", "oneway", "repo", "path", "seq",
-        F.transform("pts", lambda p: p.node_id).alias("nids"),
-        F.transform("pts", lambda p: p.lon).alias("lons"),
-        F.transform("pts", lambda p: p.lat).alias("lats"),
-        F.transform("pts", lambda p: p.use_count).alias("ucnts"),
-    )
+    # Re-group each way's rows CONTIGUOUSLY via repartition + partition-
+    # local sort, NOT collect_list(struct)+array_sort: the struct-list
+    # aggregate runs as ObjectHashAggregate with one growing object
+    # buffer per way — profiled as a major GC source on the 30M-row
+    # flagship — while the UnsafeRow sort stays codegen-compatible and
+    # allocation-free.  (repo, path, seq) is the way's identity; pos
+    # orders its nodes; the Arrow pass re-derives the way boundaries from
+    # key changes and carries split ways across batch edges.
+    n_part = int(ways.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    flat = wn.repartition(
+        n_part, F.col("repo"), F.col("path"), F.col("seq")
+    ).sortWithinPartitions("repo", "path", "seq", "pos")
 
     def split(batches):
         import pandas as pd
 
         from osm2ch_spark.udftrace import traced
-        from osm2ch_spark.workerenv import prewarm
-        prewarm()
         batches = traced("split", batches)
 
         def empty():
@@ -156,25 +152,26 @@ def split_ways_to_edges(
                 }
             )
 
-        for pdf in batches:
-            # Fully vectorized segmentation (no per-node Python):
-            #   1. flatten every way's node arrays into one batch-wide array
-            #   2. ONE haversine over every consecutive flat pair (cross-way
-            #      pairs are never read back)
+        def process(pdf):
+            # Fully vectorized segmentation (no per-node Python) over FLAT
+            # sorted way-node rows:
+            #   1. way boundaries = (repo, path, seq) key changes — the
+            #      rows arrive partition-sorted, so each way is one run
+            #   2. ONE haversine over every consecutive flat pair (cross-
+            #      way pairs are never read back)
             #   3. segment ends = flat positions with use_count>1 that are
             #      not a way's first node (osm_loader.go:240-244)
             #   4. per-segment left-to-right cost sums via column-wise
             #      accumulation over a (segments × max_len) padded matrix —
             #      bit-identical to the Go loop order (x+0.0 == x exactly,
             #      and haversines are non-negative so -0.0 never appears)
-            lens = pdf["nids"].map(len).to_numpy(dtype=np.int64)
-            if len(lens) == 0 or lens.sum() == 0:
-                yield empty()
-                continue
-            flat_nids = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["nids"]])
-            flat_lons = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["lons"]])
-            flat_lats = np.concatenate([np.asarray(x, dtype=np.float64) for x in pdf["lats"]])
-            flat_ucnt = np.concatenate([np.asarray(x, dtype=np.int64) for x in pdf["ucnts"]])
+            flat_nids = pdf["node_id"].to_numpy(dtype=np.int64)
+            flat_lons = pdf["lon"].to_numpy(dtype=np.float64)
+            flat_lats = pdf["lat"].to_numpy(dtype=np.float64)
+            flat_ucnt = pdf["use_count"].to_numpy(dtype=np.int64)
+            seq_all = pdf["seq"].to_numpy(dtype=np.int64)
+            repo_all = pdf["repo"].to_numpy()
+            path_all = pdf["path"].to_numpy()
             if strict and np.isnan(flat_lons).any():
                 bad = flat_nids[np.isnan(flat_lons)]
                 raise ValueError(
@@ -189,13 +186,21 @@ def split_ways_to_edges(
                 )
             else:
                 all_d = np.zeros(0)
-            offsets = np.concatenate([[0], np.cumsum(lens)])  # len = W+1
+            change = (
+                np.flatnonzero(
+                    (seq_all[1:] != seq_all[:-1])
+                    | (path_all[1:] != path_all[:-1])
+                    | (repo_all[1:] != repo_all[:-1])
+                )
+                + 1
+            )
+            offsets = np.concatenate([[0], change, [len(pdf)]])  # len = W+1
+            way_first = offsets[:-1]
             is_start = np.zeros(len(flat_nids), dtype=bool)
-            is_start[offsets[:-1][lens > 0]] = True
+            is_start[way_first] = True
             ends = np.flatnonzero((flat_ucnt > 1) & ~is_start)
             if len(ends) == 0:
-                yield empty()
-                continue
+                return None
             # way index of each segment end; segment start = previous end
             # within the same way, else the way's first node
             way_of = np.searchsorted(offsets, ends, side="right") - 1
@@ -231,11 +236,12 @@ def split_ways_to_edges(
                     c += v
                 cost[k] = c
 
-            way_ids = pdf["way_id"].to_numpy(dtype=np.int64)[way_of]
-            oneway = pdf["oneway"].to_numpy(dtype=bool)[way_of]
-            repo = pdf["repo"].to_numpy()[way_of]
-            path = pdf["path"].to_numpy()[way_of]
-            seq = pdf["seq"].to_numpy(dtype=np.int64)[way_of]
+            seg_first = way_first[way_of]  # first flat row of each seg's way
+            way_ids = pdf["way_id"].to_numpy(dtype=np.int64)[seg_first]
+            oneway = pdf["oneway"].to_numpy(dtype=bool)[seg_first]
+            repo = repo_all[seg_first]
+            path = path_all[seg_first]
+            seq = seq_all[seg_first]
             src = flat_nids[starts]
             tgt = flat_nids[ends]
             g_lons = [flat_lons[s : e + 1] for s, e in zip(starts, ends)]
@@ -262,9 +268,42 @@ def split_ways_to_edges(
                     "geom_lats": g_lats + [a[::-1] for a, r in zip(g_lats, rev) if r],
                 }
             )
-            yield out
+            return out
 
-    segments = grouped.mapInPandas(split, EDGE_SCHEMA)
+        # Arrow slices a partition into ~10k-row batches with no respect
+        # for way boundaries; carry the trailing (possibly incomplete) way
+        # into the next batch.  Rows are partition-sorted by the way key,
+        # so a way is always a contiguous run within one partition.
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if len(pdf) == 0:
+                continue
+            seq_all = pdf["seq"].to_numpy(dtype=np.int64)
+            repo_all = pdf["repo"].to_numpy()
+            path_all = pdf["path"].to_numpy()
+            change = (
+                np.flatnonzero(
+                    (seq_all[1:] != seq_all[:-1])
+                    | (path_all[1:] != path_all[:-1])
+                    | (repo_all[1:] != repo_all[:-1])
+                )
+                + 1
+            )
+            if len(change) == 0:
+                carry = pdf  # the whole batch is one (unfinished) way
+                continue
+            cut = int(change[-1])
+            carry = pdf.iloc[cut:]
+            out = process(pdf.iloc[:cut].reset_index(drop=True))
+            yield out if out is not None else empty()
+        if carry is not None and len(carry):
+            out = process(carry.reset_index(drop=True))
+            yield out if out is not None else empty()
+
+    segments = flat.mapInPandas(split, EDGE_SCHEMA)
     # _idb buckets the per-file group so numbering stays parallel even
     # when one file dominates (order-aligned: floor(seq/256) is monotone
     # in seq, so (repo, path, _idb) groups are contiguous in the global
@@ -453,8 +492,6 @@ def edge_geom_parts(edges: DataFrame) -> DataFrame:
         import pandas as pd
 
         from osm2ch_spark.udftrace import traced
-        from osm2ch_spark.workerenv import prewarm
-        prewarm()
         batches = traced("parts", batches)
 
         for pdf in batches:
@@ -524,7 +561,8 @@ def splice_geometry(expanded: DataFrame, edges: DataFrame,
     misses because the branches prune different columns)."""
     p = edge_geom_parts(edges)
     if materialize:
-        p = p.localCheckpoint(eager=True)
+        from osm2ch_spark.workerenv import materialize_df
+        p = materialize_df(p)
     tail_len = F.greatest(F.lit(0), F.size("geom_lons") - F.col("bi") - 1)
     src = p.select(
         F.col("edge_id").alias("src_edge_id"),
@@ -589,9 +627,13 @@ def build_expanded(source: DataFrame, entity: str = P.DEFAULT_ENTITY,
     # the checkpoint pins it (the hash key is unique per line — even
     # balance at any partition count).
     n_part = int(source.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    slim = P.slim_records(records, entity).repartition(
-        n_part, F.col("repo"), F.col("path"), F.col("seq")
-    ).localCheckpoint(eager=True)
+    from osm2ch_spark.workerenv import materialize_df
+
+    slim = materialize_df(
+        P.slim_records(records, entity).repartition(
+            n_part, F.col("repo"), F.col("path"), F.col("seq")
+        )
+    )
     ways = P.scan_ways_slim(slim, tag_whitelist)
     restrictions = P.scan_restrictions_slim(slim)
     counts = node_use_count(ways)

@@ -62,7 +62,9 @@ def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
         del _MEMO[k]
     k = (app, sf_dir, key)
     if k not in _MEMO:
-        _MEMO[k] = build().localCheckpoint(eager=True)
+        from osm2ch_spark.workerenv import materialize_df
+
+        _MEMO[k] = materialize_df(build())
     return _MEMO[k]
 
 

@@ -36,14 +36,40 @@ MALLOC_ENV = {
     "PYTHONMALLOC": "malloc",
 }
 
+def materialize_df(df):
+    """Eager local checkpoint with SERIALIZED storage — the engine's one
+    materialization primitive.  MEMORY_AND_DISK_SER stores compact
+    serialized blocks instead of deserialized InternalRows: scans pay a
+    (parallel) deserialization, but the heap stays small and GC stays off
+    the critical path — the deserialized default measured the JVM-heavy
+    phases of the 30M-row flagship NOT scaling 8→32 under allocation
+    pressure."""
+    import os
+
+    from pyspark import StorageLevel
+
+    level = (
+        StorageLevel.MEMORY_AND_DISK
+        if os.environ.get("OSM2CH_CKPT_LEVEL", "deser") == "ser"
+        else StorageLevel.MEMORY_AND_DISK_DESER
+    )
+    return df.localCheckpoint(eager=True, storageLevel=level)
+
+
 _PREWARMED = False
 
 
-def prewarm(mb: int = 128) -> None:
+def prewarm(mb: int = 32) -> None:
     """Fault ``mb`` MB of heap into this process once and release it back
     to the (never-trimmed) allocator, so subsequent batch allocations
-    reuse already-mapped pages.  No-op after the first call; ~40 ms on
-    this host, amortized across every later batch."""
+    reuse already-mapped pages.  No-op after the first call.
+
+    NOT called from the hot UDFs: with PYTHONMALLOC=malloc + the retained
+    heap, the first real batch self-warms and every later batch runs
+    fault-free; an explicit 128 MB pre-touch across 64 concurrent cold
+    workers was itself a fault storm on this host (~1500 task-seconds of
+    blocked executor threads in the first UDF stage).  Kept for tools
+    that want to warm a single worker deliberately."""
     global _PREWARMED
     if _PREWARMED:
         return

@@ -161,6 +161,10 @@ def test_lineage_rows(spark, tmp_path, graphs):
     assert [m["iteration"] for m in lineage] == [2, 4]
     for m in lineage:
         assert m["rows"] > 0 and m["checkpoint_path"] and "delta" in m and m["partitions"] > 0
+        # per-partition lineage (north rule): one entry per committed
+        # parquet part with its row count, summing to the state total
+        assert m["partition_rows"], "per-partition lineage missing"
+        assert sum(p["rows"] for p in m["partition_rows"]) == m["rows"]
 
 
 def test_cc_lpa_resume(spark, tmp_path, graphs):
