@@ -371,7 +371,10 @@ def main():
         # ceiling is calibrated between every round (median used).
         rounds = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", "3"))
         prepare_big_inputs_subprocess()
-        cals = [cpu_calibration()["hw_speedup_8_to_32"]]
+        # ≥12 bracketing calibrations: the hw ceiling divides the final
+        # efficiency number, and single samples on this drifting host span
+        # 1.4-5.1x — take 3 per bracket and use the median of all.
+        cals = [cpu_calibration()["hw_speedup_8_to_32"] for _ in range(3)]
         results: dict[int, list] = {8: [], 32: []}
 
         def wait_for_memory(need_gb: int = 95, timeout_s: int = 120):
@@ -408,7 +411,7 @@ def main():
                     print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
                     sys.exit(1)
                 results[cpus].append(json.loads(line[-1][len("BENCH_RESULT "):]))
-            cals.append(cpu_calibration()["hw_speedup_8_to_32"])
+            cals.extend(cpu_calibration()["hw_speedup_8_to_32"] for _ in range(3))
         hw_speedup = sorted(cals)[len(cals) // 2]
         best8 = {q: min(r["queries"][q] for r in results[8]) for q in SCALING_QUERIES}
         best32 = {q: min(r["queries"][q] for r in results[32]) for q in SCALING_QUERIES}

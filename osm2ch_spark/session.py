@@ -104,15 +104,17 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_DRIVER_JAVA_OPTS",
-                # AlwaysPreTouch is LOAD-BEARING on this VM (lazily
-                # provisioned pages): an interleaved A/B on the 127M-edge
-                # PageRank measured 50-58s WITH pretouch vs 170-180s
-                # without — faulting the heap in mid-run at 32 threads
-                # dominates otherwise.  Back-to-back bench subprocesses
-                # must wait for the previous JVM's heap to be reclaimed
-                # before starting (bench.py wait_for_memory) or the
-                # pretouch OOM-kills the gateway.
-                f"-Xms{mem} -XX:+UseParallelGC -XX:+AlwaysPreTouch",
+                # This VM provisions first-touch memory at ~250 MB/s
+                # through the hypervisor.  Round 3 fought that with
+                # -XX:+AlwaysPreTouch (4 KB faults cost ~100 µs → ~26 s/GB
+                # faulted mid-run, a 3× slowdown on the 127M-edge
+                # PageRank), but at an 80 g heap the pretouch itself now
+                # burns 5+ minutes of pure kernel time per JVM launch.
+                # Transparent huge pages cut the first-touch cost ~6×
+                # (measured 4.2 s/GB), cheap enough to fault LAZILY: the
+                # untimed warmup touches the pages a workload actually
+                # needs and startup stays instant — no pretouch.
+                f"-Xms{mem} -XX:+UseParallelGC -XX:+UseTransparentHugePages",
             ),
         )
     )
