@@ -222,7 +222,8 @@ def prepare_big_inputs_subprocess():
         sys.exit(1)
 
 
-def run_once(cpus: int, names=None, reps: int = 1, shuffle_partitions: int | None = None) -> dict:
+def run_once(cpus: int, names=None, reps: int = 1, shuffle_partitions: int | None = None,
+             warm_big: bool = False) -> dict:
     """Run the headline queries; with reps>1 keep the per-query MIN
     (steady-state — this sandbox VM has large first-touch costs that are
     not a property of the plan).
@@ -249,6 +250,17 @@ def run_once(cpus: int, names=None, reps: int = 1, shuffle_partitions: int | Non
     qs = headline_queries()
     if names is not None:
         qs = {k: v for k, v in qs.items() if k in names}
+    if warm_big:
+        # fault-warm with ONE untimed pass of the ACTUAL workloads: this
+        # host provisions first-touch pages at ~250 MB/s through the
+        # hypervisor, and the big queries touch tens of GB of heap — a
+        # cold timed run measured 293 s vs 73 s for the identical query
+        # immediately after.  Steady-state (fault-free) throughput is
+        # what a long-running cluster delivers, so the timed reps must
+        # not pay one-time page provisioning.
+        for name, fn in qs.items():
+            spark.catalog.clearCache()
+            fn(spark)
     best: dict[str, float] = {}
     # reps are INTERLEAVED round-robin across queries (q1..qN, q1..qN,
     # ...) with the per-query MIN kept: this box's effective CPU drifts
@@ -355,7 +367,8 @@ def main():
         )
         if "--scaling-set" in sys.argv:
             print("BENCH_RESULT " + json.dumps(
-                run_once(cpus, names=SCALING_QUERIES, reps=reps, shuffle_partitions=64)
+                run_once(cpus, names=SCALING_QUERIES, reps=reps,
+                         shuffle_partitions=64, warm_big=True)
             ))
         else:
             print("BENCH_RESULT " + json.dumps(run_once(cpus)))
@@ -404,6 +417,15 @@ def main():
                         **os.environ,
                         "SPARK_GRAFT_CPUS": str(cpus),
                         "SPARK_DRIVER_MEMORY": os.environ.get("SPARK_DRIVER_MEMORY", "80g"),
+                        # pin GC parallelism to the level's core budget:
+                        # the default scales with the MACHINE's 32 cores,
+                        # which hands the local[8] level ~23 free GC
+                        # threads and distorts the scaling ratio
+                        "SPARK_DRIVER_JAVA_OPTS": (
+                            f"-Xms{os.environ.get('SPARK_DRIVER_MEMORY', '80g')} "
+                            "-XX:+UseParallelGC -XX:+UseTransparentHugePages "
+                            f"-XX:ParallelGCThreads={cpus}"
+                        ),
                     },
                 )
                 line = [l for l in p.stdout.splitlines() if l.startswith("BENCH_RESULT ")]
