@@ -250,6 +250,28 @@ def run_once(cpus: int, names=None, reps: int = 1, shuffle_partitions: int | Non
     qs = headline_queries()
     if names is not None:
         qs = {k: v for k, v in qs.items() if k in names}
+    def settle_heap():
+        """Drop the previous pass's checkpoint blocks and collect its
+        garbage before a timed rep: the big queries leave ~10^8 row
+        objects behind, and without this the NEXT rep's first full GC
+        inherits the entire previous heap (profiled: 5000+ task-seconds
+        of GC inside the first stages of a timed run — a global pause
+        that does not scale with cores and poisons the 8-vs-32 ratio).
+        Two GC cycles: the first enqueues the dropped RDDs' weak refs
+        (ContextCleaner unpersists asynchronously), the second reclaims
+        the freed block memory."""
+        import gc
+
+        from osm2ch_spark import tpch_world as W
+
+        W.reset_world()
+        spark.catalog.clearCache()
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(3)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(1)
+
     if warm_big:
         # fault-warm with ONE untimed pass of the ACTUAL workloads: this
         # host provisions first-touch pages at ~250 MB/s through the
@@ -269,11 +291,10 @@ def run_once(cpus: int, names=None, reps: int = 1, shuffle_partitions: int | Non
     for _ in range(reps):
         for name, fn in qs.items():
             # drop memoized world tables + any cached plans so every rep
-            # honestly rebuilds from the parquet inputs
-            from osm2ch_spark import tpch_world as W
-
-            W.reset_world()
-            spark.catalog.clearCache()
+            # honestly rebuilds from the parquet inputs; settle_heap also
+            # collects the previous pass's garbage so this rep's GC work
+            # is its own
+            settle_heap()
             t0 = time.perf_counter()
             rows = fn(spark)
             dt = time.perf_counter() - t0

@@ -98,5 +98,12 @@ def localcheckpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Lineage cut without durable storage (used between durable commits
     to stop plan growth in the driver loop).  Pass eager=False when the
     next driver-side action will materialize it anyway — halves the jobs
-    per iteration."""
-    return df.localCheckpoint(eager=eager)
+    per iteration.
+
+    Storage level follows the engine-wide ``OSM2CH_CKPT_LEVEL`` knob
+    (workerenv.ckpt_storage_level): the per-iteration rank/label tables
+    of the big graphs are 10^8 rows, and deserialized blocks at that
+    size put full-GC tracing on the critical path of every iteration."""
+    from osm2ch_spark.workerenv import ckpt_storage_level
+
+    return df.localCheckpoint(eager=eager, storageLevel=ckpt_storage_level())

@@ -36,24 +36,37 @@ MALLOC_ENV = {
     "PYTHONMALLOC": "malloc",
 }
 
-def materialize_df(df):
-    """Eager local checkpoint with SERIALIZED storage — the engine's one
-    materialization primitive.  MEMORY_AND_DISK_SER stores compact
-    serialized blocks instead of deserialized InternalRows: scans pay a
-    (parallel) deserialization, but the heap stays small and GC stays off
-    the critical path — the deserialized default measured the JVM-heavy
-    phases of the 30M-row flagship NOT scaling 8→32 under allocation
-    pressure."""
+def ckpt_storage_level():
+    """Storage level for every materialization barrier in the engine,
+    selected by ``OSM2CH_CKPT_LEVEL``:
+
+      * ``ser`` — serialized heap blocks: one byte[] per partition instead
+        of one object graph per row, so full-GC tracing cost is independent
+        of row count (each 30M-row deserialized table is ~60M live objects;
+        four of them made ParallelGC full GCs the flagship's non-scaling
+        floor — profiled 812 s GC in a single window stage at local[32]).
+      * ``disk`` — off the heap entirely (spark.local.dir, i.e. the page
+        cache): zero GC footprint, scans pay a (parallel) re-read.
+      * ``deser`` — deserialized InternalRows (Spark's localCheckpoint
+        default): fastest re-scan, but heap object count scales with rows.
+    """
     import os
 
     from pyspark import StorageLevel
 
-    level = (
-        StorageLevel.MEMORY_AND_DISK
-        if os.environ.get("OSM2CH_CKPT_LEVEL", "deser") == "ser"
-        else StorageLevel.MEMORY_AND_DISK_DESER
-    )
-    return df.localCheckpoint(eager=True, storageLevel=level)
+    return {
+        "ser": StorageLevel.MEMORY_AND_DISK,
+        "disk": StorageLevel.DISK_ONLY,
+        "deser": StorageLevel.MEMORY_AND_DISK_DESER,
+    }[os.environ.get("OSM2CH_CKPT_LEVEL", "deser")]
+
+
+def materialize_df(df):
+    """Eager local checkpoint — the engine's one materialization
+    primitive.  Storage level per :func:`ckpt_storage_level`; eager so the
+    fan-out consumers scan a finished RDD instead of racing to build
+    cache blocks (the round-3 lock-wait floor)."""
+    return df.localCheckpoint(eager=True, storageLevel=ckpt_storage_level())
 
 
 _PREWARMED = False

@@ -146,9 +146,10 @@ from osm2ch_spark.sources import parse as P
 spark = get_spark(master="local[4]", app_name="reuse-audit")
 spark.sparkContext.setLogLevel("ERROR")
 src = fixtures.micrograph_source(spark, ["t_junction", "split_shared_node"])
-n_ways = P.scan_ways(P.parse_records(src)).count()
+from pyspark.sql import functions as F
+n_refs = P.scan_ways(P.parse_records(src)).select(F.explode("nodes")).count()
 n = pipeline.build_expanded(src).count()
-print("RESULT", n_ways, n)
+print("RESULT", n_refs, n)
 spark.stop()
 """ % os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = {
@@ -161,7 +162,7 @@ spark.stop()
                        capture_output=True, text=True, timeout=300)
     line = [l for l in p.stdout.splitlines() if l.startswith("RESULT")]
     assert line, p.stdout[-1500:] + p.stderr[-1500:]
-    n_ways, n_rows = map(int, line[-1].split()[1:])
+    n_refs, n_rows = map(int, line[-1].split()[1:])
     assert n_rows > 0
     split_rows = 0
     for path in glob.glob(trace_dir + "/*.log"):
@@ -169,9 +170,9 @@ spark.stop()
             parts = rec.split()
             if parts[0] == "split":
                 split_rows += int(parts[4].split("=")[1])
-    # one traced input row per way-group; k-fold recomputation would
-    # show k * n_ways
-    assert split_rows == n_ways, (split_rows, n_ways)
+    # the flat-row split UDF sees one traced input row per way-node
+    # reference; k-fold recomputation would show k * n_refs
+    assert split_rows == n_refs, (split_rows, n_refs)
 
 
 def test_no_cache_entries_leaked(spark):

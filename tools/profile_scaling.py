@@ -49,6 +49,30 @@ def main():
     warm = bench.headline_queries(bench.WARMUP_SF_DIR)[qname]
     warm(spark)
     spark.catalog.clearCache()
+    if os.environ.get("PROFILE_WARM_BIG", "1") == "1":
+        # untimed pass of the actual workload (matches the scaling
+        # protocol's fault-warming): the timed+profiled run below then
+        # measures steady state, not one-time page provisioning
+        fn(spark)
+        from osm2ch_spark import tpch_world as W
+
+        W.reset_world()
+        spark.catalog.clearCache()
+        # drop the warm pass's checkpoint blocks and collect its garbage
+        # NOW: otherwise the timed region's first full GC inherits the
+        # entire warm-pass heap (measured: 5000+ task-seconds of GC inside
+        # the first window stages of the timed run)
+        import gc as _gc
+
+        _gc.collect()
+        # two cycles: the first GC enqueues the checkpoint RDDs' weak
+        # references (ContextCleaner unpersists asynchronously), the
+        # second reclaims the freed block memory
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(3)
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+    t0_epoch_ms = time.time() * 1000.0
     t0 = time.perf_counter()
     rows = fn(spark)
     wall = time.perf_counter() - t0
@@ -105,6 +129,12 @@ def main():
                     st["shuf_w_mb"] = st.get("shuf_w_mb", 0) + acc.get(
                         "internal.metrics.shuffle.write.bytesWritten", 0) / 1e6
 
+    # keep only stages submitted inside the timed region (drops the
+    # warm-big pass's stages from the report)
+    stages = {
+        k: v for k, v in stages.items()
+        if v.get("sub") is None or v["sub"] >= t0_epoch_ms - 500
+    }
     out = [s for s in stages.values() if s.get("wall_s")]
     out.sort(key=lambda s: -(s["wall_s"] or 0))
     print(json.dumps({"cpus": cpus, "query": qname, "rows": rows,
