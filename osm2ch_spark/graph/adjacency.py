@@ -23,14 +23,26 @@ from pyspark.sql import functions as F
 
 
 def build_adjacency(edges: DataFrame, num_buckets: int = 32, max_chunk: int = 4096,
-                    with_weights: bool = True) -> DataFrame:
+                    with_weights: bool = True, narrow_ids: bool = False) -> DataFrame:
     """Group the edge table into chunked, bucketed adjacency shards.
 
     ``with_weights=False`` omits the weights lists: unweighted consumers
     (PageRank) never read them, and the second collect_list both doubles
     the aggregate's heap footprint (the CSR build is the engine's most
-    GC-heavy stage at 10^8 edges) and doubles the cached shard bytes."""
-    aggs = [F.collect_list("target_vertex").alias("nbrs")]
+    GC-heavy stage at 10^8 edges) and doubles the cached shard bytes.
+
+    ``narrow_ids=True`` stores neighbor ids as INT (4 B) instead of
+    BIGINT (8 B) — the caller asserts every vertex id fits in int32
+    (PageRank checks this from the vertex stats it already computes).
+    This is the poor man's dictionary encoding: it halves the cached CSR
+    bytes and the per-iteration explode/shuffle width, which matters
+    because the iteration loop is partly DRAM-bandwidth-bound (this
+    sandbox box's aggregate stream bandwidth does not grow from 8 to 32
+    workers — tools/membw_calibration.py).  At true web scale ids exceed
+    int32 and the flag stays False; a production variant would
+    dictionary-encode vertex ids first."""
+    tgt = F.col("target_vertex").cast("int") if narrow_ids else F.col("target_vertex")
+    aggs = [F.collect_list(tgt).alias("nbrs")]
     if with_weights:
         aggs.append(F.collect_list("weight").alias("wts"))
     adj = (

@@ -34,21 +34,40 @@ def pagerank(
     checkpoint_every: int = 5,
     num_buckets: int | None = None,
     resume: bool = False,
+    narrow_ids: bool | None = None,
 ) -> DataFrame:
     """Returns (vertex BIGINT, rank DOUBLE).  ``edges`` is the engine's
-    directed edge table (source_vertex, target_vertex, weight, one_way)."""
+    directed edge table (source_vertex, target_vertex, weight, one_way).
+
+    ``narrow_ids``: int32 CSR neighbor ids.  Default OFF — an
+    interleaved A/B on the 174M-edge graph (BENCH/ab_pr_narrow.json)
+    showed no win at local[32]: the implicit int→long cast on the
+    exploded contribution stream costs what the narrower shuffle saves,
+    consistent with the iteration being only ~10% DRAM-stream-bound
+    (BENCH/scaling.json stream_bound_fraction_per_query).  Kept as an
+    explicit knob; True requires every vertex id to fit int32."""
     spark = edges.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    verts = vertices_table(edges).persist()
+    # one job: vertex count + id range (the range guards the optional
+    # narrow_ids path — int32 neighbors are only legal when every id fits)
+    vstats = verts.agg(
+        F.count("vertex").alias("n"),
+        F.min("vertex").alias("vmin"),
+        F.max("vertex").alias("vmax"),
+    ).collect()[0]
+    n = vstats["n"]
+    if n == 0:
+        return spark.createDataFrame([], "vertex long, rank double")
+    ids_fit_int32 = -(2**31) <= vstats["vmin"] and vstats["vmax"] < 2**31
+    narrow = bool(narrow_ids) and ids_fit_int32
     # with_weights=False: PageRank is unweighted (networkx semantics);
     # skipping the weights collect_list halves the CSR build's heap
     # churn and the cached shard size
-    adj = build_adjacency(edges, num_buckets=num_buckets, with_weights=False).persist()
-    verts = vertices_table(edges).persist()
-    n = verts.count()
-    if n == 0:
-        return spark.createDataFrame([], "vertex long, rank double")
+    adj = build_adjacency(edges, num_buckets=num_buckets, with_weights=False,
+                          narrow_ids=narrow).persist()
 
     ckpt = CheckpointManager(checkpoint_dir, "pagerank", every=checkpoint_every)
 

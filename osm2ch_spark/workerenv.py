@@ -36,19 +36,27 @@ MALLOC_ENV = {
     "PYTHONMALLOC": "malloc",
 }
 
-def ckpt_storage_level():
-    """Storage level for every materialization barrier in the engine,
-    selected by ``OSM2CH_CKPT_LEVEL``:
+def ckpt_storage_level(default: str = "deser"):
+    """Storage level for a materialization barrier, selected by
+    ``OSM2CH_CKPT_LEVEL`` (falls back to the call site's ``default``):
 
       * ``ser`` — serialized heap blocks: one byte[] per partition instead
         of one object graph per row, so full-GC tracing cost is independent
         of row count (each 30M-row deserialized table is ~60M live objects;
-        four of them made ParallelGC full GCs the flagship's non-scaling
-        floor — profiled 812 s GC in a single window stage at local[32]).
+        profiled 812 s of GC in a single window stage at local[32] with
+        deserialized blocks).
       * ``disk`` — off the heap entirely (spark.local.dir, i.e. the page
         cache): zero GC footprint, scans pay a (parallel) re-read.
       * ``deser`` — deserialized InternalRows (Spark's localCheckpoint
         default): fastest re-scan, but heap object count scales with rows.
+
+    Per-site defaults are measured, not uniform (interleaved protocol
+    runs, BENCH/scaling.json history): the PIPELINE barriers are scanned
+    by many downstream stages and deser's cheap re-scan wins
+    (edge_pipeline_big @32: 54.7 s deser vs 59.2 s ser best-of-rounds);
+    the GRAPH-loop per-iteration tables are scanned once or twice then
+    dropped, and ser's small heap wins big (pagerank3_big 8→32 speedup
+    1.86× deser → 2.56× ser; @32 wall 58.4 → 38.7 s).
     """
     import os
 
@@ -58,15 +66,16 @@ def ckpt_storage_level():
         "ser": StorageLevel.MEMORY_AND_DISK,
         "disk": StorageLevel.DISK_ONLY,
         "deser": StorageLevel.MEMORY_AND_DISK_DESER,
-    }[os.environ.get("OSM2CH_CKPT_LEVEL", "deser")]
+    }[os.environ.get("OSM2CH_CKPT_LEVEL", default)]
 
 
 def materialize_df(df):
     """Eager local checkpoint — the engine's one materialization
-    primitive.  Storage level per :func:`ckpt_storage_level`; eager so the
+    primitive for the pipeline's fan-out tables.  Storage level per
+    :func:`ckpt_storage_level` (deser default — see there); eager so the
     fan-out consumers scan a finished RDD instead of racing to build
     cache blocks (the round-3 lock-wait floor)."""
-    return df.localCheckpoint(eager=True, storageLevel=ckpt_storage_level())
+    return df.localCheckpoint(eager=True, storageLevel=ckpt_storage_level("deser"))
 
 
 _PREWARMED = False
