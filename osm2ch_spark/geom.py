@@ -224,11 +224,19 @@ def find_middle_point_many(flat_lons, flat_lats, offsets):
     # frac=(t/2)/t which is EXACTLY 0.5 in IEEE (t/2 is exact, and
     # round((t/2)/t)=0.5), so 0.5*x0+0.5*x1 reproduces
     # (1-frac)*x0+frac*x1 bit-for-bit; t<=0 / NaN leave the zero default
-    # exactly as the matrix path's empty `valid` row does.
+    # exactly as the matrix path's empty `valid` row does.  The guard is
+    # on t/2 and finiteness, matching the matrix condition
+    # `half <= cl and half > ol` in the degenerate corners too: a
+    # subnormal t whose half underflows to 0 fails `half > ol` there
+    # (ol == 0), and t == inf takes the inf/inf frac branch → NaN
+    # midpoint, reproduced explicitly below.
     two = np.flatnonzero(lens == 2)
     if len(two):
         t = seg_all[offsets[two]]
-        g = two[t > 0]
+        g = two[((t / 2.0) > 0) & np.isfinite(t)]
+        inf_g = two[np.isinf(t)]
+        mlon[inf_g] = np.nan
+        mlat[inf_g] = np.nan
         og = offsets[g]
         mlon[g] = 0.5 * flat_lons[og] + 0.5 * flat_lons[og + 1]
         mlat[g] = 0.5 * flat_lats[og] + 0.5 * flat_lats[og + 1]

@@ -62,11 +62,20 @@ class CheckpointManager:
         """Per-partition row counts of the committed state — the north
         rule's per-partition lineage.  One parquet file per write task, so
         footer metadata gives the counts with NO extra Spark job (driver
-        reads ~8 bytes of footer per file)."""
+        reads ~8 bytes of footer per file).
+
+        Best-effort: the footer read assumes a locally listable POSIX
+        directory; on a non-local checkpoint root (hdfs://, s3a://) the
+        listing raises OSError and lineage enrichment degrades to an
+        empty list instead of killing the iterative run."""
         import pyarrow.parquet as pq
 
         out = []
-        for name in sorted(os.listdir(path)):
+        try:
+            names = sorted(os.listdir(path))
+        except OSError:
+            return out
+        for name in names:
             if name.startswith("part-") and name.endswith(".parquet"):
                 out.append(
                     {"file": name, "rows": pq.ParquetFile(os.path.join(path, name)).metadata.num_rows}
@@ -74,7 +83,11 @@ class CheckpointManager:
         return out
 
     def latest(self) -> dict | None:
-        """Most recent committed iteration's lineage row, or None."""
+        """Most recent committed iteration's lineage row, or None.
+
+        The lineage file is append-only with no fsync, so a crash
+        mid-append can leave a torn final line; unparseable tails are
+        skipped and resume falls back to the previous complete row."""
         p = self._lineage_path() if self.root else None
         if not p or not os.path.exists(p):
             return None
@@ -83,7 +96,10 @@ class CheckpointManager:
             for line in f:
                 line = line.strip()
                 if line:
-                    last = json.loads(line)
+                    try:
+                        last = json.loads(line)
+                    except ValueError:
+                        continue
         return last
 
     def resume(self, spark: SparkSession) -> tuple[DataFrame, int] | None:

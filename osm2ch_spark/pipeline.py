@@ -608,8 +608,12 @@ def build_expanded(source: DataFrame, entity: str = P.DEFAULT_ENTITY,
     ``strict=True`` mirrors the reference's fail-fast contract: a way
     node absent from the node scan is a hard error (osm_loader.go:216-218)
     rather than a silently shorter geometry.  The check is folded into
-    the W1 node join (left join + NaN raise inside the Arrow pass) — it
-    adds no extra job; the error surfaces on the first action.
+    the W1 node join (left join + NaN raise inside the Arrow pass) — no
+    extra job beyond the pipeline's own materialization barriers.  Note
+    build_expanded eagerly materializes its fan-out barriers (slim /
+    split / expand / splice), so Spark jobs run during this call and a
+    strict violation raises HERE, not on the caller's first action
+    (cli.py relies on this).
     """
     records = parse_source(source)
     # The pipeline materializes its fan-out tables with EAGER LOCAL

@@ -62,11 +62,18 @@ def ckpt_storage_level(default: str = "deser"):
 
     from pyspark import StorageLevel
 
-    return {
+    levels = {
         "ser": StorageLevel.MEMORY_AND_DISK,
         "disk": StorageLevel.DISK_ONLY,
         "deser": StorageLevel.MEMORY_AND_DISK_DESER,
-    }[os.environ.get("OSM2CH_CKPT_LEVEL", default)]
+    }
+    name = os.environ.get("OSM2CH_CKPT_LEVEL", default)
+    if name not in levels:
+        raise ValueError(
+            f"OSM2CH_CKPT_LEVEL={name!r} is not a known storage level; "
+            f"expected one of {sorted(levels)}"
+        )
+    return levels[name]
 
 
 def materialize_df(df):

@@ -129,6 +129,9 @@ def test_find_middle_point_many_parity():
         np.array([[37.5, 55.5]]),              # single point
         np.array([[37.5, 55.5], [37.5, 55.5]]),  # zero length
         np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]]),  # exact tie at half
+        # degenerate lens==2 corners for the fast path's bit-parity claim:
+        np.array([[0.0, 0.0], [5e-324, 0.0]]),   # subnormal t: t/2 underflows
+        np.array([[0.0, 0.0], [1e308, 1e308]]),  # t overflows to inf → NaN mid
     ]
     for n in (2, 3, 5, 17, 130):
         for _ in range(5):
@@ -136,7 +139,14 @@ def test_find_middle_point_many_parity():
     flat = np.concatenate([l.reshape(-1, 2) for l in lines])
     offsets = np.concatenate([[0], np.cumsum([len(l) for l in lines])])
     bi, mlon, mlat = geom.find_middle_point_many(flat[:, 0], flat[:, 1], offsets)
+    def same_bits(a, b):
+        return np.float64(a).tobytes() == np.float64(b).tobytes() or (
+            np.isnan(a) and np.isnan(b)
+        )
+
     for i, line in enumerate(lines):
         si, (sx, sy) = geom.find_middle_point(line)
         assert bi[i] == si, f"line {i}: idx {bi[i]} != {si}"
-        assert mlon[i] == sx and mlat[i] == sy, f"line {i}: midpoint bits differ"
+        assert same_bits(mlon[i], sx) and same_bits(mlat[i], sy), (
+            f"line {i}: midpoint bits differ"
+        )

@@ -167,6 +167,45 @@ def test_lineage_rows(spark, tmp_path, graphs):
         assert sum(p["rows"] for p in m["partition_rows"]) == m["rows"]
 
 
+def test_resume_skips_torn_lineage_tail(spark, tmp_path, graphs):
+    """A crash mid-append can tear lineage.json's last line; resume must
+    fall back to the previous complete row instead of raising."""
+    import json
+    import os
+
+    from osm2ch_spark.graph.checkpoint import CheckpointManager
+
+    ck = str(tmp_path / "torn")
+    pagerank(edge_df(spark, graphs["multi_component"]), max_iter=4, tol=0.0,
+             checkpoint_dir=ck, checkpoint_every=2)
+    lineage_path = os.path.join(ck, "pagerank", "lineage.json")
+    with open(lineage_path, "a") as f:
+        f.write('{"algorithm": "pagerank", "iteration": 6, "rows"')  # torn
+    mgr = CheckpointManager(ck, "pagerank")
+    meta = mgr.latest()
+    assert meta is not None and meta["iteration"] == 4
+    state, it = mgr.resume(spark)
+    assert it == 4 and state.count() > 0
+
+
+def test_ckpt_storage_level_rejects_typo(monkeypatch):
+    import pytest
+
+    from osm2ch_spark.workerenv import ckpt_storage_level
+
+    monkeypatch.setenv("OSM2CH_CKPT_LEVEL", "serialized")
+    with pytest.raises(ValueError, match="serialized"):
+        ckpt_storage_level("ser")
+
+
+def test_partition_rows_tolerates_nonlocal_path():
+    from osm2ch_spark.graph.checkpoint import CheckpointManager
+
+    # non-local URI: os.listdir raises; lineage enrichment must degrade
+    # to [] instead of killing the run
+    assert CheckpointManager._partition_rows("hdfs://nn/ck/iter=1") == []
+
+
 def test_cc_lpa_resume(spark, tmp_path, graphs):
     """Resume mid-run → identical final state (CC edge-set, LPA labels)."""
     edges = graphs["multi_component"]
