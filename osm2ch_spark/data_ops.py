@@ -358,6 +358,12 @@ def q_embedding_cosine_topk(spark, sf):
 # cap, trading per-table recall for more OR-ed tables.
 _ANN_BITS = 8
 _ANN_TABLES = 8
+# Per-(table, bucket) corpus cap: the constant-in-N bound on the
+# candidate join (see q_ann_topk).  tools/ann_sweep.py sweeps this and
+# _ANN_TABLES to map the recall-vs-candidate-volume operating curve;
+# the DuckDB oracle CTEs pin the DEFAULT (8 tables, cap 128), so the
+# oracle gate always checks the shipped configuration.
+_ANN_CAP = 128
 
 
 def _ann_masks() -> list[int]:
@@ -488,6 +494,37 @@ def _cosine(qe, ne):
     return dot / (nrm(qe) * nrm(ne))
 
 
+def _ann_candidates(spark, sf):
+    """Distinct (query_id, neighbor_id) ANN candidate pairs: (table,
+    bucket)-equality join of Hamming≤2 query probes against the
+    per-bucket-capped corpus — the part of ann_topk whose volume the
+    cap bounds (swept by tools/ann_sweep.py)."""
+    b = q_ann_lsh_buckets(spark, sf)
+    # corpus side: cap every (t, bucket) to its _ANN_CAP lowest vec_ids
+    w_cap = Window.partitionBy("t", "bucket").orderBy("vec_id")
+    capped = (
+        b.withColumn("rn", F.row_number().over(w_cap))
+        .filter(F.col("rn") <= _ANN_CAP)
+        .select(F.col("vec_id").alias("neighbor_id"), "t", "bucket")
+    )
+    # query side: explode each query bucket into its Hamming≤2 probe codes
+    masks = F.array(*[F.lit(m) for m in _ann_masks()])
+    qb = (
+        b.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "t", F.explode(masks).alias("m"), "bucket")
+        .select(
+            "query_id", "t", F.col("bucket").bitwiseXOR(F.col("m")).alias("bucket")
+        )
+    )
+    return (
+        F.broadcast(qb)
+        .join(capped, ["t", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+
 @register(
     "ann_topk",
     "WITH " + _VALS_SQL + _ANN_TOPK_CTE
@@ -506,31 +543,8 @@ def q_ann_topk(spark, sf):
     0.84 at sandbox scale (was 0.08 with 16-bit codes — this corpus's
     true neighbors sit at cosine 0.26-0.40, so long codes shatter them),
     candidate volume 0.57% of all pairs."""
-    b = q_ann_lsh_buckets(spark, sf)
+    cand = _ann_candidates(spark, sf)
     e = T(spark, sf, "embeddings").select(F.col("vec_id").cast("long"), "embedding")
-    # corpus side: cap every (t, bucket) to its 128 lowest vec_ids
-    w_cap = Window.partitionBy("t", "bucket").orderBy("vec_id")
-    capped = (
-        b.withColumn("rn", F.row_number().over(w_cap))
-        .filter(F.col("rn") <= 128)
-        .select(F.col("vec_id").alias("neighbor_id"), "t", "bucket")
-    )
-    # query side: explode each query bucket into its 137 probe codes
-    masks = F.array(*[F.lit(m) for m in _ann_masks()])
-    qb = (
-        b.filter(F.col("vec_id") < 5)
-        .select(F.col("vec_id").alias("query_id"), "t", F.explode(masks).alias("m"), "bucket")
-        .select(
-            "query_id", "t", F.col("bucket").bitwiseXOR(F.col("m")).alias("bucket")
-        )
-    )
-    cand = (
-        F.broadcast(qb)
-        .join(capped, ["t", "bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
     c = (
         cand.join(
             F.broadcast(

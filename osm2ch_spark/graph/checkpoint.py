@@ -110,19 +110,32 @@ class CheckpointManager:
         return spark.read.parquet(meta["checkpoint_path"]), meta["iteration"]
 
 
-def localcheckpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+def localcheckpoint(df: DataFrame, eager: bool = True, level: str = "ser") -> DataFrame:
     """Lineage cut without durable storage (used between durable commits
     to stop plan growth in the driver loop).  Pass eager=False when the
     next driver-side action will materialize it anyway — halves the jobs
     per iteration.
 
-    Storage level defaults to SERIALIZED blocks (overridable via
-    ``OSM2CH_CKPT_LEVEL`` — workerenv.ckpt_storage_level): the
-    per-iteration rank/label tables of the big graphs are 10^8 rows,
-    scanned once or twice then dropped, and deserialized blocks at that
-    size put full-GC tracing on the critical path of every iteration —
-    interleaved protocol A/B on the 174M-edge PageRank: 8→32 speedup
-    1.86× (deser) → 2.56× (ser), @32 wall 58.4 → 38.7 s."""
+    ``level`` is the call site's default storage level (overridable via
+    ``OSM2CH_CKPT_LEVEL`` — workerenv.ckpt_storage_level), A/B'd per
+    algorithm because their scan patterns differ:
+
+    - PageRank/LPA default ``"ser"`` (serialized heap blocks): the
+      per-iteration rank/label tables are 10^8 rows, scanned once or
+      twice then dropped, and deserialized blocks at that size put
+      full-GC tracing on every iteration's critical path — interleaved
+      A/B on the 174M-edge PageRank: 8→32 speedup 1.86× (deser) → 2.56×
+      (ser), @32 wall 58.4 → 38.7 s.  A ser-vs-disk A/B
+      (BENCH/ab_pr_ckpt_level.json) was ambiguous in a degraded host
+      window (disk won the min, ser 2 of 3 rounds) — ser kept.
+    - Connected components defaults ``"disk"``: its per-round edge table
+      is scanned ~3× per iteration (signature agg + both star passes),
+      and DISK_ONLY blocks ride the OS page cache with zero heap
+      residency — interleaved ser/deser/disk A/B on the headline CC
+      (BENCH/ab_cc_ckpt_level.json): disk won 2 of 3 rounds and the
+      min (119.9 s vs ser 154.2 s vs deser 192.2 s).  The same A/B
+      adjudicated the r4 "CC +53 %" as host drift: reverting to r3's
+      deser is the WORST level on CC."""
     from osm2ch_spark.workerenv import ckpt_storage_level
 
-    return df.localCheckpoint(eager=eager, storageLevel=ckpt_storage_level("ser"))
+    return df.localCheckpoint(eager=eager, storageLevel=ckpt_storage_level(level))

@@ -14,6 +14,8 @@ of the component (exact, oracle-comparable).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -39,9 +41,16 @@ def _large_star(e: DataFrame) -> DataFrame:
     return out.filter(F.col("u") != F.col("v"))
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, dedup: bool = True) -> DataFrame:
     """Canonicalize so u = max: for each u connect all smaller-or-equal
-    neighbors (and u itself) to their min."""
+    neighbors (and u itself) to their min.
+
+    ``dedup=False`` skips the trailing ``distinct`` — the only full-dedup
+    shuffle of a round.  Both star passes are duplicate-insensitive as
+    SET functions (their only aggregate is a per-key min), so a round may
+    emit a multiset and let a later round's distinct restore set
+    semantics; only the signature/convergence check requires a deduped
+    input (see connected_components' OSM2CH_CC_DEDUP_EVERY cadence)."""
     canon = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
     mins = canon.groupBy("u").agg(F.min("v").alias("m"))
     out = (
@@ -49,7 +58,8 @@ def _small_star(e: DataFrame) -> DataFrame:
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
     )
-    return out.filter(F.col("u") != F.col("v")).distinct()
+    out = out.filter(F.col("u") != F.col("v"))
+    return out.distinct() if dedup else out
 
 
 def _signature(e: DataFrame):
@@ -91,23 +101,47 @@ def connected_components(
         if got is not None:
             e, start_iter = got
     if e is None:
-        e = localcheckpoint(undirected_edges(edges))
+        # level="disk" for the CC loop — see localcheckpoint's docstring
+        # and BENCH/ab_cc_ckpt_level.json
+        e = localcheckpoint(undirected_edges(edges), level="disk")
 
+    # Dedup cadence (OSM2CH_CC_DEDUP_EVERY, default 1 = every round):
+    # small_star's distinct is the only full-dedup shuffle per round, and
+    # both star passes are duplicate-insensitive set functions, so the
+    # distinct (and with it the signature/convergence check) can run every
+    # k-th round, letting intermediate rounds emit multisets.  With
+    # cadence k the loop compares the deduped set at iteration it against
+    # the one at it-k: the star rounds are deterministic set functions
+    # whose potential strictly decreases off the fixed point (Kiveris et
+    # al. §4), so R^k(S) == S implies S IS the fixed point — no period-k
+    # cycles exist, and the exact anti-join confirm still guards the
+    # signature against hash collisions.  Commit rounds force a dedup so
+    # checkpointed state and lineage row counts stay set-accurate.
+    dedup_every = max(1, int(os.environ.get("OSM2CH_CC_DEDUP_EVERY", "1")))
     sig = _signature(e)
+    ref_e = e  # last DEDUPED edge set — the signature's subject
     for it in range(start_iter + 1, max_iter + 1):
-        # eager=False: the signature aggregate below materializes it
-        new_e = localcheckpoint(_small_star(_large_star(e)), eager=False)
-        new_sig = _signature(new_e)
-        if checkpoint_dir and ckpt.should_commit(it):
-            new_e = ckpt.commit(new_e, it, float(abs(new_sig[0] - sig[0])), new_sig[0])
-        if new_sig == sig:
-            # signature says converged — confirm EXACTLY before breaking
-            # (counts already equal, so one-sided anti-join suffices)
-            if new_e.join(e, ["u", "v"], "left_anti").isEmpty():
-                e = new_e
-                break
+        do_dedup = (it % dedup_every == 0) or (bool(checkpoint_dir) and ckpt.should_commit(it))
+        # eager=False: on dedup rounds the signature aggregate below
+        # materializes it; on skip rounds the NEXT round's signature
+        # materializes the (short) two-round chain in one job
+        new_e = localcheckpoint(
+            _small_star(_large_star(e), dedup=do_dedup), eager=False, level="disk"
+        )
+        if do_dedup:
+            new_sig = _signature(new_e)
+            if checkpoint_dir and ckpt.should_commit(it):
+                new_e = ckpt.commit(new_e, it, float(abs(new_sig[0] - sig[0])), new_sig[0])
+            if new_sig == sig:
+                # signature says converged — confirm EXACTLY before
+                # breaking (counts already equal, so one-sided anti-join
+                # against the previous deduped set suffices)
+                if new_e.join(ref_e, ["u", "v"], "left_anti").isEmpty():
+                    e = new_e
+                    break
+            sig = new_sig
+            ref_e = new_e
         e = new_e
-        sig = new_sig
 
     # at convergence every edge points a vertex at its component root
     roots = e.select(F.col("u").alias("vertex"), F.col("v").alias("component"))

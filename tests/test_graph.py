@@ -64,6 +64,21 @@ def test_connected_components_exact(spark, key, graphs):
     assert got == oracle
 
 
+@pytest.mark.parametrize("key", GRAPH_KEYS)
+def test_connected_components_dedup_cadence(spark, key, graphs, monkeypatch):
+    """OSM2CH_CC_DEDUP_EVERY=2 (distinct + convergence check every other
+    round) must be result-identical to the every-round default — the star
+    passes are duplicate-insensitive set functions."""
+    monkeypatch.setenv("OSM2CH_CC_DEDUP_EVERY", "2")
+    edges = graphs[key]
+    oracle = O.cc_oracle(edges)
+    got = {
+        r["vertex"]: r["component"]
+        for r in connected_components(edge_df(spark, edges)).collect()
+    }
+    assert got == oracle
+
+
 @pytest.mark.parametrize("key", ["multi_component", "expanded_fixture"])
 def test_label_propagation_exact(spark, key, graphs):
     edges = graphs[key]
