@@ -51,12 +51,20 @@ def ckpt_storage_level(default: str = "deser"):
         default): fastest re-scan, but heap object count scales with rows.
 
     Per-site defaults are measured, not uniform (interleaved protocol
-    runs, BENCH/scaling.json history): the PIPELINE barriers are scanned
-    by many downstream stages and deser's cheap re-scan wins
-    (edge_pipeline_big @32: 54.7 s deser vs 59.2 s ser best-of-rounds);
-    the GRAPH-loop per-iteration tables are scanned once or twice then
-    dropped, and ser's small heap wins big (pagerank3_big 8→32 speedup
-    1.86× deser → 2.56× ser; @32 wall 58.4 → 38.7 s).
+    runs): the PIPELINE barriers default to ``disk`` — the dedicated
+    interleaved A/B (BENCH/ab_pipe_ckpt_level.json, bracketing
+    calibrations 2.4–3.5×) has deser losing ALL THREE rounds to both
+    alternatives (min 222.8 s vs disk 165.9 s / ser 168.1 s on
+    edge_pipeline_big @32) — each barrier table is 10^7–10^8 rows scanned
+    by 2–3 downstream stages, and the per-row object graphs deser pins
+    dominate full-GC tracing for the rest of the run.  An earlier
+    best-of-rounds comparison from scaling-run history (deser 54.7 s vs
+    ser 59.2 s) predates the flat-split rewrite and was not a controlled
+    A/B; the dedicated A/B supersedes it.  The GRAPH-loop per-iteration
+    tables keep per-algorithm levels: ``ser`` for PageRank/LPA
+    (pagerank3_big 8→32 speedup 1.86× deser → 2.56× ser), ``disk`` for
+    CC (BENCH/ab_cc_ckpt_level.json — its ~3-scans-per-iteration edge
+    table wins 2 of 3 rounds and the min on disk).
     """
     import os
 
@@ -79,10 +87,11 @@ def ckpt_storage_level(default: str = "deser"):
 def materialize_df(df):
     """Eager local checkpoint — the engine's one materialization
     primitive for the pipeline's fan-out tables.  Storage level per
-    :func:`ckpt_storage_level` (deser default — see there); eager so the
-    fan-out consumers scan a finished RDD instead of racing to build
-    cache blocks (the round-3 lock-wait floor)."""
-    return df.localCheckpoint(eager=True, storageLevel=ckpt_storage_level("deser"))
+    :func:`ckpt_storage_level` (disk default — see there; A/B'd in
+    BENCH/ab_pipe_ckpt_level.json); eager so the fan-out consumers scan
+    a finished RDD instead of racing to build cache blocks (the round-3
+    lock-wait floor)."""
+    return df.localCheckpoint(eager=True, storageLevel=ckpt_storage_level("disk"))
 
 
 _PREWARMED = False
