@@ -138,7 +138,8 @@ def main():
     out = [s for s in stages.values() if s.get("wall_s")]
     out.sort(key=lambda s: -(s["wall_s"] or 0))
     print(json.dumps({"cpus": cpus, "query": qname, "rows": rows,
-                      "wall_s": round(wall, 2), "shuffle": shuffle}))
+                      "wall_s": round(wall, 2), "shuffle": shuffle,
+                      "timed_t0_epoch_ms": round(t0_epoch_ms)}))
     total_wall = sum(s["wall_s"] for s in out)
     print(f"sum of stage walls: {total_wall:.1f}s over {len(out)} stages")
     for s in out[:18]:
