@@ -526,9 +526,11 @@ def main():
             for cpus in (8, 32):
                 # transient JVM/RPC failures (rare executor shutdown races
                 # on this host) must not void a 40-minute protocol run:
-                # retry the level once; the min-over-rounds statistic is
-                # unaffected by a retried sample.
-                for attempt in (1, 2):
+                # retry the level; the min-over-rounds statistic is
+                # unaffected by a retried sample.  (Raised to 3 attempts
+                # after a degraded-window run lost 3 workers to shuffle-file
+                # FileNotFound races — see BENCH/perf_notes_r05.md.)
+                for attempt in (1, 2, 3):
                     wait_for_memory()
                     p = subprocess.run(
                         [sys.executable, os.path.abspath(__file__),
@@ -556,6 +558,15 @@ def main():
                         break
                     print(f"WARN: worker local[{cpus}] round {rnd} attempt "
                           f"{attempt} produced no result", file=sys.stderr)
+                    # keep the FULL transcript: the tail alone is shutdown
+                    # noise (blockmgr teardown); the primary failure is
+                    # usually thousands of lines earlier
+                    fail_log = f"/tmp/scaling_fail_{cpus}_{rnd}_{attempt}.log"
+                    with open(fail_log, "w") as fl:
+                        fl.write("==== STDOUT ====\n" + p.stdout +
+                                 "\n==== STDERR ====\n" + p.stderr)
+                    print(f"WARN: full worker transcript -> {fail_log}",
+                          file=sys.stderr)
                     print(p.stdout[-2000:], p.stderr[-2000:], file=sys.stderr)
                 if not line:
                     sys.exit(1)

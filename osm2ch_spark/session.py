@@ -91,6 +91,14 @@ def get_spark(
         .config("spark.executorEnv.MALLOC_TRIM_THRESHOLD_",
                 os.environ["MALLOC_TRIM_THRESHOLD_"])
         .config("spark.executorEnv.PYTHONMALLOC", os.environ["PYTHONMALLOC"])
+        # Shuffle-file deletion runs synchronously with the GC-triggered
+        # ContextCleaner instead of on its async thread: the bench harness
+        # forces System.gc() between reps, and an async delete racing a
+        # still-draining stage produced mid-run FileNotFoundException on
+        # shuffle data files (3 worker losses in one degraded-window
+        # scaling run).  Blocking deletes close that window at no
+        # steady-state cost (cleanup only happens at explicit/full GCs).
+        .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
         # Timestamps in parquet testdata are µs; keep them stable.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
