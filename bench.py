@@ -482,9 +482,22 @@ def main():
             int(sys.argv[sys.argv.index("--reps") + 1]) if "--reps" in sys.argv else 1
         )
         if "--scaling-set" in sys.argv:
+            # --shuffle N overrides the pinned partition count (default 64)
+            # for wave-granularity A/Bs; the scaling protocol itself always
+            # pins the SAME value at both parallelism levels.
+            shuf = (
+                int(sys.argv[sys.argv.index("--shuffle") + 1])
+                if "--shuffle" in sys.argv else 64
+            )
+            # --queries a,b restricts the set (A/B tools target one query
+            # to halve worker cost); default = the full scaling set.
+            names = (
+                tuple(sys.argv[sys.argv.index("--queries") + 1].split(","))
+                if "--queries" in sys.argv else SCALING_QUERIES
+            )
             print("BENCH_RESULT " + json.dumps(
-                run_once(cpus, names=SCALING_QUERIES, reps=reps,
-                         shuffle_partitions=64, warm_big=True)
+                run_once(cpus, names=names, reps=reps,
+                         shuffle_partitions=shuf, warm_big=True)
             ))
         else:
             print("BENCH_RESULT " + json.dumps(run_once(cpus)))

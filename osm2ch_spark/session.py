@@ -61,11 +61,17 @@ def get_spark(
     mem = extra_conf.pop(
         "spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g")
     )
+    # OSM2CH_AQE=0 disables adaptive execution for A/B runs: every AQE
+    # stage materialization is a separate job with driver round-trips
+    # (~34 stage jobs on the flagship pipeline — a fixed ~10 s serial
+    # term, perf_notes_r04 §5), and with shuffle partitions pinned the
+    # runtime re-planning may not pay for itself.  Default stays ON.
+    aqe = os.environ.get("OSM2CH_AQE", "1") != "0"
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
         # AQE: runtime coalescing, skew-join splitting, join re-planning.
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

@@ -112,6 +112,7 @@ def main():
                             "tasks": si["Number of Tasks"],
                             "wall_s": round((comp - sub) / 1000.0, 2) if sub and comp else None,
                             "sub": sub,
+                            "comp": comp,
                         }
                     )
                 elif ev.get("Event") == "SparkListenerTaskEnd":
@@ -154,6 +155,35 @@ def main():
     tot_spill = sum(s.get("spill_mb", 0) for s in stages.values())
     tot_shufw = sum(s.get("shuf_w_mb", 0) for s in stages.values())
     print(f"TOTALS run={tot_run:.0f}s cpu={tot_cpu:.0f}s spill={tot_spill:.0f}MB shufW={tot_shufw:.0f}MB")
+
+    # Driver dead time: wall-clock inside the timed region during which NO
+    # stage was running — AQE replanning, job submission, py4j round
+    # trips, checkpoint bookkeeping.  This is the Amdahl serial term: it
+    # does not shrink with cores, so comparing it at 8 vs 32 separates
+    # "the plan stops scaling" from "the driver serializes between
+    # stages".  Computed as timed wall minus the union of [submit,
+    # complete] intervals of timed stages.
+    ivals = sorted(
+        (s["sub"], s["comp"]) for s in stages.values()
+        if s.get("sub") and s.get("comp")
+    )
+    covered = 0.0
+    cur_s = cur_e = None
+    for a, b in ivals:
+        if cur_e is None or a > cur_e:
+            if cur_e is not None:
+                covered += cur_e - cur_s
+            cur_s, cur_e = a, b
+        else:
+            cur_e = max(cur_e, b)
+    if cur_e is not None:
+        covered += cur_e - cur_s
+    dead = max(0.0, wall - covered / 1000.0)
+    n_jobs = len({s["stage"] for s in stages.values()})
+    print(
+        f"DRIVER dead time (no stage running): {dead:.1f}s of {wall:.1f}s wall "
+        f"({100 * dead / wall:.0f}%) across {n_jobs} timed stages"
+    )
 
 
 if __name__ == "__main__":
