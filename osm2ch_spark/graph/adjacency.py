@@ -71,20 +71,45 @@ def build_adjacency(edges: DataFrame, num_buckets: int = 32, max_chunk: int = 40
 
 
 def vertices_table(edges: DataFrame) -> DataFrame:
-    """All vertices with a dangling flag (no outgoing edges)."""
-    srcs = edges.select(F.col("source_vertex").alias("vertex")).distinct()
-    tgts = edges.select(F.col("target_vertex").alias("vertex")).distinct()
-    verts = srcs.unionAll(tgts).distinct()
-    # shuffle_hash: both sides are same-scale vertex sets — without the
-    # hint the planner's much-smaller rule falls back to sort-merge
-    return verts.join(
-        srcs.withColumn("has_out", F.lit(True)).hint("shuffle_hash"), "vertex", "left"
-    ).select("vertex", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+    """All vertices with a dangling flag (no outgoing edges).
+
+    One aggregation: tag every endpoint occurrence with is-source, then
+    ``max`` per vertex.  The previous shape (distinct(srcs), distinct
+    (tgts), union-distinct, left join) spent four shuffles on the same
+    answer (guide §2.4 — remove shuffles outright); the union rows are
+    partial-aggregated map-side, so the single exchange carries at most
+    2 × distinct(vertex) rows."""
+    tagged = edges.select(
+        F.col("source_vertex").alias("vertex"), F.lit(True).alias("has_out")
+    ).unionAll(
+        edges.select(F.col("target_vertex").alias("vertex"), F.lit(False).alias("has_out"))
+    )
+    return tagged.groupBy("vertex").agg(F.max("has_out").alias("has_out"))
+
+
+def canonical_edges(edges: DataFrame) -> DataFrame:
+    """Distinct canonical (u < v) undirected pairs, self-loops removed.
+
+    One scan of the edge table and one dedup exchange over N rows; the
+    symmetric form used to dedup 2N rows after scanning the input twice
+    (guide §2.3 — shuffle fewer bytes)."""
+    return (
+        edges.select(
+            F.least("source_vertex", "target_vertex").alias("u"),
+            F.greatest("source_vertex", "target_vertex").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
 
 
 def undirected_edges(edges: DataFrame) -> DataFrame:
     """Distinct symmetric (u, v) pairs, self-loops removed — shared by
-    CC / LPA / triangles, which treat the graph as undirected."""
-    fwd = edges.select(F.col("source_vertex").alias("u"), F.col("target_vertex").alias("v"))
-    rev = edges.select(F.col("target_vertex").alias("u"), F.col("source_vertex").alias("v"))
-    return fwd.unionAll(rev).filter(F.col("u") != F.col("v")).distinct()
+    CC / LPA / triangles, which treat the graph as undirected.
+
+    Built as canonical pairs ∪ their swaps: the dedup shuffle then runs
+    over N canonicalized rows instead of 2N symmetric rows, and the
+    input is scanned once instead of twice.  (A canonical pair and its
+    swap are distinct rows, so the union needs no further dedup.)"""
+    cp = canonical_edges(edges)
+    return cp.unionAll(cp.select(F.col("v").alias("u"), F.col("u").alias("v")))

@@ -45,18 +45,41 @@ def _small_star(e: DataFrame, dedup: bool = True) -> DataFrame:
     """Canonicalize so u = max: for each u connect all smaller-or-equal
     neighbors (and u itself) to their min.
 
+    The per-key min is a WINDOW over partitionBy(u) rather than a
+    groupBy+self-join: ``e`` here is the UNMATERIALIZED large-star plan
+    (a join), and the join+agg shape scanned that plan twice per round
+    (once for the mins aggregate, once as the join probe — the exchanges
+    dedup via reuse, but the join itself re-executed).  The window makes
+    one pass over one exchange of ``canon`` (guide §2.4), and the
+    ``mins`` rows for the union drop out of the same pass with a
+    partition-local dedup (no extra shuffle — the window's partitioning
+    already satisfies the aggregate).
+
     ``dedup=False`` skips the trailing ``distinct`` — the only full-dedup
     shuffle of a round.  Both star passes are duplicate-insensitive as
     SET functions (their only aggregate is a per-key min), so a round may
     emit a multiset and let a later round's distinct restore set
     semantics; only the signature/convergence check requires a deduped
     input (see connected_components' OSM2CH_CC_DEDUP_EVERY cadence)."""
+    from pyspark.sql import Window
+
     canon = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
-    mins = canon.groupBy("u").agg(F.min("v").alias("m"))
-    out = (
-        canon.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
+    proj = canon.withColumn("m", F.min("v").over(Window.partitionBy("u")))
+    # one pass over the window output: every row emits (v, m); the row(s)
+    # achieving the min additionally emit the (u, m) self-link that the
+    # old shape union'd from the mins table.  (A duplicated (u, m) input
+    # row emits the self-link more than once — a multiset difference the
+    # trailing distinct erases; skip-dedup rounds tolerate multisets by
+    # contract, see above.)
+    both = F.when(
+        F.col("v") == F.col("m"),
+        F.array(
+            F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+            F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+        ),
+    ).otherwise(F.array(F.struct(F.col("v").alias("a"), F.col("m").alias("b"))))
+    out = proj.select(F.explode(both).alias("p")).select(
+        F.col("p.a").alias("u"), F.col("p.b").alias("v")
     )
     out = out.filter(F.col("u") != F.col("v"))
     return out.distinct() if dedup else out
@@ -86,11 +109,13 @@ def connected_components(
 ) -> DataFrame:
     """Returns (vertex, component) for every vertex of the edge table."""
     spark = edges.sparkSession
+    # single-use (the final left join below) — no persist: caching a
+    # 10^8-row vertex set bought nothing and competed with execution
+    # memory for the whole loop (guide §5, caching)
     verts = (
         edges.select(F.col("source_vertex").alias("vertex"))
         .unionAll(edges.select(F.col("target_vertex").alias("vertex")))
         .distinct()
-        .persist()
     )
     ckpt = CheckpointManager(checkpoint_dir, "connected_components", every=checkpoint_every)
 
@@ -102,8 +127,10 @@ def connected_components(
             e, start_iter = got
     if e is None:
         # level="disk" for the CC loop — see localcheckpoint's docstring
-        # and BENCH/ab_cc_ckpt_level.json
-        e = localcheckpoint(undirected_edges(edges), level="disk")
+        # and BENCH/ab_cc_ckpt_level.json.  eager=False: the signature
+        # aggregate right below is the first action and materializes the
+        # blocks — an eager checkpoint here paid a separate full pass.
+        e = localcheckpoint(undirected_edges(edges), eager=False, level="disk")
 
     # Dedup cadence (OSM2CH_CC_DEDUP_EVERY, default 1 = every round):
     # small_star's distinct is the only full-dedup shuffle per round, and
@@ -149,5 +176,4 @@ def connected_components(
     out = verts.join(roots, "vertex", "left").select(
         "vertex", F.coalesce("component", F.col("vertex")).alias("component")
     )
-    verts.unpersist()
     return out

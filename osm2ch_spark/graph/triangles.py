@@ -16,12 +16,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osm2ch_spark.graph.adjacency import undirected_edges
+from osm2ch_spark.graph.adjacency import canonical_edges
 
 
 def _canonical(edges: DataFrame) -> DataFrame:
-    und = undirected_edges(edges)
-    return und.filter(F.col("u") < F.col("v")).distinct()
+    # canonical_edges is already the distinct u < v pair set; the old
+    # symmetric-then-filter shape deduped 2N rows to keep N (guide §2.3)
+    return canonical_edges(edges)
 
 
 def _oriented(canon: DataFrame) -> DataFrame:

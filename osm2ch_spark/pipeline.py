@@ -351,8 +351,6 @@ def expand_edges(edges: DataFrame, materialize: bool = False) -> DataFrame:
     # narrow (order-of-magnitude less shuffle volume at scale).
     e1 = edges.select(
         F.col("edge_id").alias("src_edge_id"),
-        F.col("repo").alias("src_repo"),
-        F.col("path").alias("src_path"),
         F.col("way_id").alias("source_way"),
         F.col("source_node").alias("src_source_node"),
         F.col("target_node").alias("src_target_node"),
@@ -387,14 +385,18 @@ def expand_edges(edges: DataFrame, materialize: bool = False) -> DataFrame:
     j = j.filter(~cyc)
     j = j.drop("s_lon0", "s_lat0", "s_lon1", "s_lat1", "d_lon0", "d_lat0", "d_lon1", "d_lat1")
     j = j.withColumn("weight", (F.col("src_cost") + F.col("dst_cost")) / F.lit(2.0))
-    # ID2 grouping: edge ids are file-contiguous (assigned in (repo, path)
-    # order), so pairs grouped by (e1's file, floor(src_edge_id/2048)) are
-    # contiguous under the global (src_edge_id, dst_edge_id) order; the
-    # bucket keeps numbering parallel when one file dominates.
+    # ID2 grouping: edge ids are already GLOBALLY sequential (file-
+    # contiguous), so floor(src_edge_id/2048) alone is a contiguous,
+    # bounded grouping under the global (src_edge_id, dst_edge_id) order —
+    # no need to carry (repo, path) strings through the join, the
+    # exchange, and the ranking sort just to name the group (guide §2.3:
+    # narrower shuffle keys).  The two-level prefix sum yields the same
+    # ids for ANY contiguous grouping, so this is value-identical to the
+    # old (src_repo, src_path, _idb) key.
     j = j.withColumn("_idb", F.floor(F.col("src_edge_id") / 2048))
     out = with_sequential_id(
         j,
-        ["src_repo", "src_path", "_idb"],
+        ["_idb"],
         ["src_edge_id", "dst_edge_id"],
         "expanded_id",
         materialize=materialize,

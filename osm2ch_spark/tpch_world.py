@@ -54,7 +54,8 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _MEMO: dict = {}
 
 
-def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
+def _memo(spark: SparkSession, sf_dir: str, key: str, build,
+          materialize: bool = True) -> DataFrame:
     app = spark.sparkContext.applicationId
     # evict entries of stopped sessions: a process that cycles get_spark()
     # (tests/tools) would otherwise pin dead sessions' DataFrames forever
@@ -64,7 +65,15 @@ def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
     if k not in _MEMO:
         from osm2ch_spark.workerenv import materialize_df
 
-        _MEMO[k] = materialize_df(build())
+        df = build()
+        # materialize=False: the builder's output is already a cheap
+        # layer over an eager checkpoint it created internally (the
+        # ranked-table barrier inside with_sequential_id) — a second
+        # full-width checkpoint here re-wrote the same 10^6-row table
+        # just to skip a broadcast-probe per consumer (guide §2.4:
+        # remove passes outright).  Consumers re-run only the offsets
+        # aggregate (metadata-scale) and the broadcast probe per action.
+        _MEMO[k] = materialize_df(df) if materialize else df
     return _MEMO[k]
 
 
@@ -126,15 +135,34 @@ def tpch_way_nodes(spark, sf_dir) -> DataFrame:
 def tpch_ways(spark, sf_dir) -> DataFrame:
     """ways DF in the pipeline's schema: (way_id, oneway, nodes, tags,
     repo, path, seq) with scan order = way_id."""
-    wn = tpch_way_nodes(spark, sf_dir)
     o = T(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("long").alias("way_id"),
         (F.col("o_orderkey") % 3 == 0).alias("oneway"),
     )
+    # Sort the collected structs by (l_linenumber, l_partkey) directly
+    # instead of ranking with a ROW_NUMBER window first: pos is a dense
+    # rank over exactly that ordering, so sorting by the ordering itself
+    # yields the identical node sequence (ties are full duplicates —
+    # equal node_id — so their relative order cannot matter).  This
+    # removes one full Window (exchange + sort over every lineitem row)
+    # from every world build (guide §2.4).
+    li = T(spark, sf_dir, "lineitem")
     nodes_arr = (
-        wn.groupBy("way_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "node_id"))).alias("pn"))
-        .select("way_id", F.transform("pn", lambda s: s.node_id).alias("nodes"))
+        li.groupBy(F.col("l_orderkey").cast("long").alias("way_id"))
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_partkey").alias("pk"),
+                    )
+                )
+            ).alias("pn")
+        )
+        .select(
+            "way_id",
+            F.transform("pn", lambda s: s.pk.cast("long")).alias("nodes"),
+        )
     )
     return (
         o.join(nodes_arr, "way_id", "inner")
@@ -198,8 +226,13 @@ def tpch_rules(expanded: DataFrame) -> DataFrame:
 def tpch_final_expanded(spark, sf_dir) -> DataFrame:
     """Expansion + both restriction passes (J4 then J5)."""
     ways = tpch_ways(spark, sf_dir)
-    # expanded feeds three subtrees (base + rule derivation + anti-joins)
-    expanded = _memo(spark, sf_dir, "expanded", lambda: tpch_expanded(spark, sf_dir))
+    # expanded feeds three subtrees (base + rule derivation + anti-joins);
+    # materialize=False — expand_edges(materialize=True) already barriers
+    # its ranked table, so the memo'd layer is ckpt-scan + broadcast probe
+    expanded = _memo(
+        spark, sf_dir, "expanded",
+        lambda: tpch_expanded(spark, sf_dir), materialize=False,
+    )
     rules = tpch_rules(expanded)
     seen = pipeline.ways_seen(ways)
     out = pipeline.apply_no_restrictions(expanded, rules, seen)
@@ -211,10 +244,14 @@ def tpch_spliced(spark, sf_dir) -> DataFrame:
     reference output row (cmd/osm2ch/main.go:139-150) over the projected
     world."""
     ways = tpch_ways(spark, sf_dir)
-    edges = _memo(spark, sf_dir, "edges", lambda: tpch_edges(spark, sf_dir))
+    # materialize=False on both: split_ways_to_edges / expand_edges each
+    # barrier their ranked table internally (see _memo)
+    edges = _memo(spark, sf_dir, "edges",
+                  lambda: tpch_edges(spark, sf_dir), materialize=False)
     expanded = _memo(
         spark, sf_dir, "expanded2",
         lambda: pipeline.expand_edges(edges, materialize=True),
+        materialize=False,
     )
     rules = tpch_rules(expanded)
     seen = pipeline.ways_seen(ways)
