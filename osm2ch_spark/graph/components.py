@@ -70,17 +70,14 @@ def _small_star(e: DataFrame, dedup: bool = True) -> DataFrame:
     # old shape union'd from the mins table.  (A duplicated (u, m) input
     # row emits the self-link more than once — a multiset difference the
     # trailing distinct erases; skip-dedup rounds tolerate multisets by
-    # contract, see above.)
-    both = F.when(
-        F.col("v") == F.col("m"),
-        F.array(
-            F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
-            F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
-        ),
-    ).otherwise(F.array(F.struct(F.col("v").alias("a"), F.col("m").alias("b"))))
-    out = proj.select(F.explode(both).alias("p")).select(
-        F.col("p.a").alias("u"), F.col("p.b").alias("v")
-    )
+    # contract, see above.)  The exploded array holds primitive LONGS
+    # with the shared min carried as a plain column — an array of structs
+    # here allocated one object per emitted edge and showed up as ~50 s
+    # of GC in the round's Generate stage (guide §5).
+    firsts = F.when(
+        F.col("v") == F.col("m"), F.array(F.col("v"), F.col("u"))
+    ).otherwise(F.array(F.col("v")))
+    out = proj.select(F.explode(firsts).alias("u"), F.col("m").alias("v"))
     out = out.filter(F.col("u") != F.col("v"))
     return out.distinct() if dedup else out
 

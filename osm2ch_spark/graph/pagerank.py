@@ -79,7 +79,9 @@ def pagerank(
             ranks, start_iter = got
     if ranks is None:
         ranks = verts.select("vertex", "has_out", (F.lit(1.0) / n).alias("rank"))
-        ranks = localcheckpoint(ranks)
+        # eager=False: the dangling aggregate right below is the first
+        # action and materializes the blocks — one pass, not two
+        ranks = localcheckpoint(ranks, eager=False)
 
     # dangling mass of the CURRENT ranks (needed before first update)
     dangling = ranks.filter(~F.col("has_out")).agg(F.sum("rank")).collect()[0][0] or 0.0

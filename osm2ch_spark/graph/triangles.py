@@ -52,7 +52,14 @@ def _oriented(canon: DataFrame) -> DataFrame:
 
 def triangles_df(edges: DataFrame) -> DataFrame:
     """All triangles as (a, b, c) with a < b < c."""
-    oe = _oriented(_canonical(edges))
+    from osm2ch_spark.workerenv import materialize_df
+
+    # oe feeds three subtrees (both wedge sides + the closing-edge probe)
+    # whose exchanges use DIFFERENT keys (x vs (y1, y2)) — without a
+    # barrier the orientation's two degree joins re-execute per subtree
+    # (exchange reuse misses on key mismatch; guide §2.4).  Same eager-
+    # checkpoint treatment as the pipeline fan-outs.
+    oe = materialize_df(_oriented(_canonical(edges)))
     e1 = oe.select("x", F.col("y").alias("y1"), F.col("ky").alias("k1"))
     e2 = oe.select("x", F.col("y").alias("y2"), F.col("ky").alias("k2"))
     # ordered out-neighbor pairs of a common vertex; the closing edge is
@@ -78,7 +85,11 @@ def triangle_count(edges: DataFrame) -> int:
 
 def triangles_per_vertex(edges: DataFrame) -> DataFrame:
     """(vertex, triangles) — number of triangles through each vertex."""
-    t = triangles_df(edges)
+    from osm2ch_spark.workerenv import materialize_df
+
+    # the triangle set feeds three union branches (a/b/c) — barrier it so
+    # the wedge join runs once, not three times
+    t = materialize_df(triangles_df(edges))
     verts = (
         edges.select(F.col("source_vertex").alias("vertex"))
         .unionAll(edges.select(F.col("target_vertex").alias("vertex")))

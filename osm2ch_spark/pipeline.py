@@ -328,27 +328,60 @@ def filter_vertices_used(nodes: DataFrame, use_counts: DataFrame) -> DataFrame:
 def expand_edges(edges: DataFrame, materialize: bool = False) -> DataFrame:
     """J3 + F5 + F6 + ID2 — osm_loader.go:285-343 (pre-splice).
 
-    Self hash-equi-join on e1.target_node == e2.source_node; skip self
-    pairs (F5) and exact-geometry U-turn pairs (F6, raw float equality);
-    number surviving pairs in (e1.edge_id, e2.edge_id) order — the
-    reference's scan×index order, since edgesBySourceNodeID lists are in
-    ascending edge-id order (osm_loader.go:289-292).
+    Decide with small rows, explode late (optimization guide §8): the
+    dst side is pre-aggregated into ONE row per source node holding the
+    candidate out-edges as an array SORTED by edge id (the reference's
+    ``edgesBySourceNodeID`` lists, osm_loader.go:289-292).  The join
+    then runs at EDGE granularity (N rows), F5 (self pair) and F6
+    (exact-geometry U-turn, raw float equality) filter the array
+    in-place, and the pair table only comes into existence in the final
+    ``posexplode`` — whose position IS the pair's rank among its source
+    edge's surviving continuations.  The previous shape joined first and
+    ranked the exploded pairs with a window, which shuffled AND sorted
+    the full pair table (avg-degree × more rows than this plan moves;
+    measured 5.6–6.8 s of wall per headline query in the window sort
+    stage alone at sf0.1).
 
-    Skew note: hub intersections make target_node skewed; AQE skew-join
-    handles the build side at scale (session.py turns it on).
+    IDs: expanded_id = group offset (broadcast two-level prefix sum over
+    floor(src_edge_id/2048) buckets — contiguous under the global
+    (src_edge_id, dst_edge_id) order since edge ids are globally
+    sequential) + per-source-edge running sum of surviving-candidate
+    counts within the bucket (a window over EDGE-level rows) + the
+    0-based posexplode position + 1.  Value-identical to ranking the
+    exploded pairs directly.
 
-    edges is consumed twice (build and probe side of the self-join) —
-    the caller is expected to pass a materialized table (an eagerly
-    checkpointed ``split_ways_to_edges(materialize=True)`` output or a
-    persisted table), so the upstream work runs once.  With
-    ``materialize=True`` the numbered pair table is itself eagerly
-    checkpointed (the self-join runs once, not once per consumer
-    branch).
+    Skew note: hub intersections make the per-node candidate arrays
+    long, but a node's array length is bounded by node degree (not by
+    pair count), and the explode emits pairs streaming — no per-pair
+    shuffle exists for skew to concentrate.
+
+    edges is consumed twice (array side and edge side) — the caller is
+    expected to pass a materialized table so the upstream work runs
+    once.  With ``materialize=True`` the joined edge-level table (arrays
+    attached, filters applied, ranks assigned) is eagerly checkpointed;
+    consumers re-run only the broadcast probe + explode per action.
     """
-    # Only endpoint SCALARS travel through the join/numbering/anti-joins
-    # (the F6 check needs just the first/last geometry points); the full
-    # arrays are re-joined at splice time — this keeps the big shuffles
-    # narrow (order-of-magnitude less shuffle volume at scale).
+    from pyspark.sql import Window
+
+    # candidate struct: dst edge id FIRST so array_sort orders by it
+    # (ids are unique — later fields never break ties)
+    cand = edges.groupBy(F.col("source_node").alias("_node")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("edge_id").alias("did"),
+                    F.col("way_id").alias("tway"),
+                    F.col("source_node").alias("dsn"),
+                    F.col("target_node").alias("dtn"),
+                    F.col("cost_km").alias("dcost"),
+                    F.element_at("geom_lons", 1).alias("dlon0"),
+                    F.element_at("geom_lats", 1).alias("dlat0"),
+                    F.element_at("geom_lons", -1).alias("dlon1"),
+                    F.element_at("geom_lats", -1).alias("dlat1"),
+                )
+            )
+        ).alias("_cands")
+    )
     e1 = edges.select(
         F.col("edge_id").alias("src_edge_id"),
         F.col("way_id").alias("source_way"),
@@ -361,47 +394,77 @@ def expand_edges(edges: DataFrame, materialize: bool = False) -> DataFrame:
         F.element_at("geom_lons", -1).alias("s_lon1"),
         F.element_at("geom_lats", -1).alias("s_lat1"),
     )
-    e2 = edges.select(
-        F.col("edge_id").alias("dst_edge_id"),
-        F.col("way_id").alias("target_way"),
-        F.col("source_node").alias("dst_source_node"),
-        F.col("target_node").alias("dst_target_node"),
-        F.col("cost_km").alias("dst_cost"),
-        F.element_at("geom_lons", 1).alias("d_lon0"),
-        F.element_at("geom_lats", 1).alias("d_lat0"),
-        F.element_at("geom_lons", -1).alias("d_lon1"),
-        F.element_at("geom_lats", -1).alias("d_lat1"),
-    )
-    j = e1.join(e2, F.col("src_target_node") == F.col("dst_source_node"), "inner")
-    # F5 — osm_loader.go:302-304
-    j = j.filter(F.col("src_edge_id") != F.col("dst_edge_id"))
-    # F6 — osm_loader.go:306-312: exact float equality on endpoint pairs
-    cyc = (
-        (F.col("s_lon0") == F.col("d_lon1"))
-        & (F.col("s_lat0") == F.col("d_lat1"))
-        & (F.col("s_lon1") == F.col("d_lon0"))
-        & (F.col("s_lat1") == F.col("d_lat0"))
-    )
-    j = j.filter(~cyc)
-    j = j.drop("s_lon0", "s_lat0", "s_lon1", "s_lat1", "d_lon0", "d_lat0", "d_lon1", "d_lat1")
-    j = j.withColumn("weight", (F.col("src_cost") + F.col("dst_cost")) / F.lit(2.0))
-    # ID2 grouping: edge ids are already GLOBALLY sequential (file-
-    # contiguous), so floor(src_edge_id/2048) alone is a contiguous,
-    # bounded grouping under the global (src_edge_id, dst_edge_id) order —
-    # no need to carry (repo, path) strings through the join, the
-    # exchange, and the ranking sort just to name the group (guide §2.3:
-    # narrower shuffle keys).  The two-level prefix sum yields the same
-    # ids for ANY contiguous grouping, so this is value-identical to the
-    # old (src_repo, src_path, _idb) key.
+    j = e1.join(cand, F.col("src_target_node") == F.col("_node"), "inner").drop("_node")
+    # F5 (self pair, osm_loader.go:302-304) + F6 (U-turn: exact float
+    # equality on endpoint pairs, osm_loader.go:306-312) applied INSIDE
+    # the candidate array — same EqualTo semantics as the row filters
+    j = j.withColumn(
+        "_cands",
+        F.filter(
+            "_cands",
+            lambda c: (c["did"] != F.col("src_edge_id"))
+            & ~(
+                (F.col("s_lon0") == c["dlon1"])
+                & (F.col("s_lat0") == c["dlat1"])
+                & (F.col("s_lon1") == c["dlon0"])
+                & (F.col("s_lat1") == c["dlat0"])
+            ),
+        ),
+    ).drop("s_lon0", "s_lat0", "s_lon1", "s_lat1")
     j = j.withColumn("_idb", F.floor(F.col("src_edge_id") / 2048))
-    out = with_sequential_id(
-        j,
-        ["_idb"],
-        ["src_edge_id", "dst_edge_id"],
-        "expanded_id",
-        materialize=materialize,
+    j = j.withColumn("_n", F.size("_cands"))
+    if materialize:
+        # pin the partition count before the ranking window — same
+        # rationale as with_sequential_id (AQE would coalesce below
+        # target parallelism and the checkpoint would freeze that)
+        n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        j = j.repartition(n_part, F.col("_idb"))
+    w_src = (
+        Window.partitionBy("_idb")
+        .orderBy("src_edge_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    return out.drop("_idb")
+    ranked = j.withColumn("_src_off", F.coalesce(F.sum("_n").over(w_src), F.lit(0)))
+    if materialize:
+        from osm2ch_spark.workerenv import materialize_df
+
+        ranked = materialize_df(ranked)
+    # bucket offsets: exclusive running sum over per-bucket pair counts
+    # (metadata-scale — one row per 2048 source edges), broadcast back
+    counts = ranked.groupBy("_idb").agg(F.sum("_n").alias("_grp_cnt"))
+    w_off = Window.orderBy("_idb").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = F.broadcast(
+        counts.select(
+            "_idb", F.coalesce(F.sum("_grp_cnt").over(w_off), F.lit(0)).alias("_grp_off")
+        )
+    )
+    out = (
+        ranked.join(offsets, "_idb")
+        .select(
+            F.col("src_edge_id"),
+            "source_way",
+            "src_source_node",
+            "src_target_node",
+            "one_way",
+            (F.col("_grp_off") + F.col("_src_off") + F.lit(1)).alias("_base"),
+            "src_cost",
+            F.posexplode("_cands").alias("_pos", "_c"),
+        )
+        .select(
+            (F.col("_base") + F.col("_pos")).alias("expanded_id"),
+            "src_edge_id",
+            "source_way",
+            "src_source_node",
+            "src_target_node",
+            "one_way",
+            F.col("_c.did").alias("dst_edge_id"),
+            F.col("_c.tway").alias("target_way"),
+            F.col("_c.dsn").alias("dst_source_node"),
+            F.col("_c.dtn").alias("dst_target_node"),
+            ((F.col("src_cost") + F.col("_c.dcost")) / F.lit(2.0)).alias("weight"),
+        )
+    )
+    return out
 
 
 def ways_seen(ways: DataFrame) -> DataFrame:
