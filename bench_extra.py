@@ -138,7 +138,7 @@ def cc_iters(spark):
     from pyspark.sql import functions as F
 
     from osm2ch_spark import tpch_world as W
-    from osm2ch_spark.graph.adjacency import undirected_edges
+    from osm2ch_spark.graph.adjacency import canonical_edges
     from osm2ch_spark.graph.checkpoint import localcheckpoint
     from osm2ch_spark.graph.components import _large_star, _signature, _small_star
 
@@ -150,10 +150,10 @@ def cc_iters(spark):
     edges = edges.localCheckpoint(eager=True)
     out = {}
     p = Phase(spark, out)
-    e = p.run("cc0: undirected+ckpt", lambda: localcheckpoint(undirected_edges(edges), level="disk"))
+    e = p.run("cc0: canonical+ckpt", lambda: localcheckpoint(canonical_edges(edges), level="deser"))
     sig = p.run("cc0: signature", lambda: _signature(e))
     for it in range(1, 30):
-        new_e = localcheckpoint(_small_star(_large_star(e)), eager=False, level="disk")
+        new_e = localcheckpoint(_small_star(_large_star(e)), eager=False, level="deser")
         new_sig = p.run(f"cc{it}: stars+sig", lambda: _signature(new_e))
         if new_sig == sig:
             p.run(f"cc{it}: confirm anti-join",

@@ -128,14 +128,18 @@ def localcheckpoint(df: DataFrame, eager: bool = True, level: str = "ser") -> Da
       (ser), @32 wall 58.4 → 38.7 s.  A ser-vs-disk A/B
       (BENCH/ab_pr_ckpt_level.json) was ambiguous in a degraded host
       window (disk won the min, ser 2 of 3 rounds) — ser kept.
-    - Connected components defaults ``"disk"``: its per-round edge table
-      is scanned ~3× per iteration (signature agg + both star passes),
-      and DISK_ONLY blocks ride the OS page cache with zero heap
-      residency — interleaved ser/deser/disk A/B on the headline CC
-      (BENCH/ab_cc_ckpt_level.json): disk won 2 of 3 rounds and the
-      min (119.9 s vs ser 154.2 s vs deser 192.2 s).  The same A/B
-      adjudicated the r4 "CC +53 %" as host drift: reverting to r3's
-      deser is the WORST level on CC."""
+    - Connected components defaults ``"deser"`` since the r6 loop
+      restructuring: the r5 A/B that picked disk
+      (BENCH/ab_cc_ckpt_level.json: disk 119.9 s vs deser 192.2 s)
+      measured the OLD loop whose per-round table was scanned ~3× per
+      iteration at 10^7-row width; the r6 loop checkpoints far narrower
+      tables (canonical seed, window-based small-star, primitive-array
+      explode) and the serialize/write cost now dominates the GC it
+      avoids — re-A/B'd interleaved on the restructured engine
+      (BENCH/ab_cc_ckpt_level_r6.json): deser min 54.0 s vs ser 69.8 s
+      vs disk 74.7 s, with a back-to-back materialize probe showing the
+      mechanism (deser 3.6 s vs ser 14.6 s vs disk 15.5 s for the same
+      5.8M-row table)."""
     from osm2ch_spark.workerenv import ckpt_storage_level
 
     return df.localCheckpoint(eager=eager, storageLevel=ckpt_storage_level(level))

@@ -19,7 +19,7 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from osm2ch_spark.graph.adjacency import undirected_edges
+from osm2ch_spark.graph.adjacency import canonical_edges
 from osm2ch_spark.graph.checkpoint import CheckpointManager, localcheckpoint
 
 
@@ -123,11 +123,15 @@ def connected_components(
         if got is not None:
             e, start_iter = got
     if e is None:
-        # level="disk" for the CC loop — see localcheckpoint's docstring
-        # and BENCH/ab_cc_ckpt_level.json.  eager=False: the signature
-        # aggregate right below is the first action and materializes the
-        # blocks — an eager checkpoint here paid a separate full pass.
-        e = localcheckpoint(undirected_edges(edges), eager=False, level="disk")
+        # Seed with the CANONICAL pair set, not the symmetric one:
+        # _large_star symmetrizes its input internally (sym = e ∪ swap(e)),
+        # so a symmetric seed made round 1 process every edge TWICE and the
+        # initial checkpoint carry 2× the rows.  sym(canonical) ==
+        # sym(undirected) — the fixed point is identical.  eager=False: the
+        # signature aggregate right below is the first action and
+        # materializes the blocks — an eager checkpoint here paid a
+        # separate full pass.
+        e = localcheckpoint(canonical_edges(edges), eager=False, level="deser")
 
     # Dedup cadence (OSM2CH_CC_DEDUP_EVERY, default 1 = every round):
     # small_star's distinct is the only full-dedup shuffle per round, and
@@ -150,7 +154,7 @@ def connected_components(
         # materializes it; on skip rounds the NEXT round's signature
         # materializes the (short) two-round chain in one job
         new_e = localcheckpoint(
-            _small_star(_large_star(e), dedup=do_dedup), eager=False, level="disk"
+            _small_star(_large_star(e), dedup=do_dedup), eager=False, level="deser"
         )
         if do_dedup:
             new_sig = _signature(new_e)

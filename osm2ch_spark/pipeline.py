@@ -411,6 +411,23 @@ def expand_edges(edges: DataFrame, materialize: bool = False) -> DataFrame:
             ),
         ),
     ).drop("s_lon0", "s_lat0", "s_lon1", "s_lat1")
+    # the four endpoint doubles exist only for the F6 filter above — strip
+    # them before the ranking exchange / checkpoint so the materialized
+    # candidate arrays carry 5 fields instead of 9 (guide §2.3: project
+    # before the exchange; the explode below never reads them either)
+    j = j.withColumn(
+        "_cands",
+        F.transform(
+            "_cands",
+            lambda c: F.struct(
+                c["did"].alias("did"),
+                c["tway"].alias("tway"),
+                c["dsn"].alias("dsn"),
+                c["dtn"].alias("dtn"),
+                c["dcost"].alias("dcost"),
+            ),
+        ),
+    )
     j = j.withColumn("_idb", F.floor(F.col("src_edge_id") / 2048))
     j = j.withColumn("_n", F.size("_cands"))
     if materialize:

@@ -62,9 +62,10 @@ def ckpt_storage_level(default: str = "deser"):
     ser 59.2 s) predates the flat-split rewrite and was not a controlled
     A/B; the dedicated A/B supersedes it.  The GRAPH-loop per-iteration
     tables keep per-algorithm levels: ``ser`` for PageRank/LPA
-    (pagerank3_big 8→32 speedup 1.86× deser → 2.56× ser), ``disk`` for
-    CC (BENCH/ab_cc_ckpt_level.json — its ~3-scans-per-iteration edge
-    table wins 2 of 3 rounds and the min on disk).
+    (pagerank3_big 8→32 speedup 1.86× deser → 2.56× ser), ``deser`` for
+    CC since the r6 restructuring (BENCH/ab_cc_ckpt_level_r6.json —
+    deser min 54.0 s vs ser 69.8 s vs disk 74.7 s on the narrowed loop;
+    the r5 disk pick measured the old 3-scans-per-round shape).
     """
     import os
 
