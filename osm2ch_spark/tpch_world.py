@@ -139,29 +139,33 @@ def tpch_ways(spark, sf_dir) -> DataFrame:
         F.col("o_orderkey").cast("long").alias("way_id"),
         (F.col("o_orderkey") % 3 == 0).alias("oneway"),
     )
-    # Sort the collected structs by (l_linenumber, l_partkey) directly
+    # Sort the collected references by (l_linenumber, l_partkey) directly
     # instead of ranking with a ROW_NUMBER window first: pos is a dense
     # rank over exactly that ordering, so sorting by the ordering itself
     # yields the identical node sequence (ties are full duplicates —
     # equal node_id — so their relative order cannot matter).  This
     # removes one full Window (exchange + sort over every lineitem row)
     # from every world build (guide §2.4).
+    #
+    # The sort key is PACKED into one long (ln<<32 | pk) instead of a
+    # two-field struct: numeric order of the packed value equals (ln, pk)
+    # order because both fields are non-negative and l_partkey < 2^32
+    # (TPC-H partkey tops out at 200k·SF — the bound holds to SF ~21000),
+    # so the collect_list buffers and the array_sort run over primitive
+    # longs instead of one struct object per way-node reference — the
+    # aggregate was the world build's worst GC stage (guide §5).
     li = T(spark, sf_dir, "lineitem")
+    packed = F.shiftleft(F.col("l_linenumber").cast("long"), 32) + F.col(
+        "l_partkey"
+    ).cast("long")
     nodes_arr = (
         li.groupBy(F.col("l_orderkey").cast("long").alias("way_id"))
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("l_linenumber").alias("ln"),
-                        F.col("l_partkey").alias("pk"),
-                    )
-                )
-            ).alias("pn")
-        )
+        .agg(F.array_sort(F.collect_list(packed)).alias("pn"))
         .select(
             "way_id",
-            F.transform("pn", lambda s: s.pk.cast("long")).alias("nodes"),
+            F.transform(
+                "pn", lambda s: s.bitwiseAND(F.lit(0xFFFFFFFF))
+            ).alias("nodes"),
         )
     )
     return (
