@@ -59,7 +59,18 @@ def triangles_df(edges: DataFrame) -> DataFrame:
     # barrier the orientation's two degree joins re-execute per subtree
     # (exchange reuse misses on key mismatch; guide §2.4).  Same eager-
     # checkpoint treatment as the pipeline fan-outs.
-    oe = materialize_df(_oriented(_canonical(edges)))
+    #
+    # The explicit repartition by the wedge key is load-bearing twice:
+    # the oriented table is only a few MB, so AQE coalesces its exchange
+    # to ONE partition and the eager checkpoint would freeze that — the
+    # entire wedge join then ran as a single 3.3 s task (profiled; the
+    # same serialization with_sequential_id guards against) — and
+    # hash(x) partitioning lets both wedge sides join partition-locally
+    # at full parallelism with no further exchange.
+    n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    oe = materialize_df(
+        _oriented(_canonical(edges)).repartition(n_part, F.col("x"))
+    )
     e1 = oe.select("x", F.col("y").alias("y1"), F.col("ky").alias("k1"))
     e2 = oe.select("x", F.col("y").alias("y2"), F.col("ky").alias("k2"))
     # ordered out-neighbor pairs of a common vertex; the closing edge is
