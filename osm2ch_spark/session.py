@@ -124,8 +124,11 @@ def get_spark(
         # forces System.gc() between reps, and an async delete racing a
         # still-draining stage produced mid-run FileNotFoundException on
         # shuffle data files (3 worker losses in one degraded-window
-        # scaling run).  Blocking deletes close that window at no
-        # steady-state cost (cleanup only happens at explicit/full GCs).
+        # scaling run).  Blocking deletes close that window at a small
+        # (not zero) steady-state cost: ContextCleaner's weak refs can be
+        # enqueued by ANY GC and it also runs a periodic GC, so long-lived
+        # sessions serialize shuffle deletes on the cleaner thread too —
+        # scope via extra_conf if production cleaner latency ever matters.
         .config("spark.cleaner.referenceTracking.blocking.shuffle", "true")
         # Shuffle files AND DISK_ONLY checkpoint blocks live in
         # spark.local.dir; point it at the fastest local storage

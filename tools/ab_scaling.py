@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -32,6 +33,7 @@ import bench  # noqa: E402
 
 def wait_for_memory(need_gb: int = 95, timeout_s: int = 180):
     t0 = time.time()
+    avail = -1  # stays -1 if timeout_s <= 0 (loop body never runs)
     while time.time() - t0 < timeout_s:
         avail = int(
             [l for l in open("/proc/meminfo") if l.startswith("MemAvailable")][0].split()[1]
@@ -69,8 +71,13 @@ def run_worker(cpus: int, shuffle: int | None, env_kv: tuple[str, str] | None,
         line = [l for l in p.stdout.splitlines() if l.startswith("BENCH_RESULT ")]
         if line:
             return json.loads(line[-1][len("BENCH_RESULT "):])
-        print(f"WARN: worker cpus={cpus} attempt {attempt} failed", file=sys.stderr)
-        print(p.stdout[-1500:], p.stderr[-1500:], file=sys.stderr)
+        # persist the FULL transcript (the stderr tail alone is usually
+        # pure shutdown noise) so a failed multi-round A/B is diagnosable
+        fail_path = f"/tmp/ab_scaling_fail_cpus{cpus}_attempt{attempt}.log"
+        with open(fail_path, "w") as f:
+            f.write(p.stdout + "\n===== STDERR =====\n" + p.stderr)
+        print(f"WARN: worker cpus={cpus} attempt {attempt} failed; "
+              f"full transcript at {fail_path}", file=sys.stderr)
     raise SystemExit(1)
 
 
@@ -103,7 +110,10 @@ def main():
         cals.append(bench.cpu_calibration()["hw_speedup_8_to_32"])
 
     report = {"rounds": rounds, "hw_calibrations": cals,
-              "hw_speedup_8_to_32": sorted(cals)[len(cals) // 2], "cells": {}}
+              # statistics.median averages the middle pair on even-length
+              # lists (rounds=1 gives 2 samples; the old upper-middle pick
+              # biased the reported ceiling upward)
+              "hw_speedup_8_to_32": statistics.median(cals), "cells": {}}
     for label, by_cpu in results.items():
         qs = list(by_cpu[8][0]["queries"])
         best8 = {q: min(r["queries"][q] for r in by_cpu[8]) for q in qs}

@@ -179,10 +179,12 @@ def main():
     if cur_e is not None:
         covered += cur_e - cur_s
     dead = max(0.0, wall - covered / 1000.0)
-    n_jobs = len({s["stage"] for s in stages.values()})
+    # s.get: a TaskEnd-only entry (stage in flight at shutdown) has no
+    # "stage" key and must not crash the summary after a good profile
+    n_stages = len({s.get("stage") for s in stages.values() if s.get("stage") is not None})
     print(
         f"DRIVER dead time (no stage running): {dead:.1f}s of {wall:.1f}s wall "
-        f"({100 * dead / wall:.0f}%) across {n_jobs} timed stages"
+        f"({100 * dead / wall:.0f}%) across {n_stages} timed stages"
     )
 
 
